@@ -1,0 +1,19 @@
+"""Test configuration: run on CPU with 8 virtual devices so multi-chip
+sharding logic is exercised without TPU hardware.
+
+Note: the axon TPU plugin in this image ignores the JAX_PLATFORMS env var,
+so we must force the platform through jax.config before any device use.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
