@@ -1,0 +1,201 @@
+"""Layered configuration system (dataclasses + YAML + dotted CLI overrides).
+
+Replaces the reference's Hydra/OmegaConf tree (/root/reference/config/
+train_DFOLDv2.yaml) with typed dataclasses: same knob names and defaults as
+the reference's *effective* training configuration (yaml defaults overridden
+by run_train.sh:1-24), so a reference user finds every switch in the same
+place. ``apply_overrides`` supports the familiar ``a.b.c=value`` syntax.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+from dynamicpdb_tpu.diffusion.r3_diffuser import R3Config
+from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Config
+from dynamicpdb_tpu.diffusion.so3_diffuser import SO3Config
+
+
+@dataclass(frozen=True)
+class FilteringConfig:
+    max_len: int = 256
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    csv_path: str = ""
+    val_csv_path: str = ""
+    test_csv_path: str = ""
+    frame_time: int = 2  # window length F (run_train.sh:16)
+    frame_sample_step: int = 1  # stride k
+    keep_first: int | None = 100000  # train uses frames [:keep_first]
+    fix_sample_start: int | None = 100000  # eval starts here
+    min_t: float = 0.01
+    num_t: int = 10  # reverse steps
+    dynamics: bool = True
+    filtering: FilteringConfig = field(default_factory=FilteringConfig)
+
+
+@dataclass(frozen=True)
+class EmbedConfig:
+    index_embed_size: int = 32
+    aatype_embed_size: int = 32
+    # In the reference, self-conditioning only feeds the (dead) legacy
+    # Embedder distogram; with the active DFOLDv2 embedder it burns a forward
+    # pass without affecting outputs (Dfold_network_dynamic.py:450-515,
+    # train_DFOLD_dynamics.py:1205-1207). Default off here; enabling it
+    # reproduces the extra no-grad forward for strict behavioral parity.
+    embed_self_conditioning: bool = False
+    num_bins: int = 22
+    min_bin: float = 1e-5
+    max_bin: float = 20.0
+
+
+@dataclass(frozen=True)
+class IPAConfig:
+    c_s: int = 256
+    c_z: int = 128
+    c_hidden: int = 256
+    no_heads: int = 8
+    no_qk_points: int = 8
+    no_v_points: int = 12
+    num_blocks: int = 4
+    coordinate_scaling: float = 1.0  # run_train.sh:24 (yaml default 0.1)
+    temporal: bool = False  # run_train.sh:23
+    temporal_position_max_len: int = 40
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    node_embed_size: int = 256
+    edge_embed_size: int = 128
+    node_repr_dim: int = 256  # OmegaFold node_repr channel
+    edge_repr_dim: int = 128  # OmegaFold edge_repr channel
+    dropout: float = 0.0
+    cfg_drop_rate: float = 0.0
+    cfg_gamma: float = 2.0
+    embed: EmbedConfig = field(default_factory=EmbedConfig)
+    ipa: IPAConfig = field(default_factory=IPAConfig)
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    name: str = "dfold_tpu"
+    seed: int = 0
+    batch_size: int = 1  # windows per device step (frames ride inside)
+    learning_rate: float = 1e-4
+    num_epoch: int = 500000
+    log_freq: int = 32
+    ckpt_freq: int = 400  # epochs between checkpoints (run_train.sh:10)
+    ckpt_dir: str = "ckpt"
+    eval_dir: str = "eval_outputs"
+    warm_start: str | None = None
+    # loss weights: run_train.sh:18-22
+    trans_loss_weight: float = 100.0
+    rot_loss_weight: float = 7.0
+    torsion_loss_weight: float = 1.0
+    rot_loss_t_threshold: float = 0.0
+    separate_rot_loss: bool = False
+    bb_atom_loss_weight: float = 1.0
+    bb_atom_loss_t_filter: float = 0.25
+    dist_mat_loss_weight: float = 1.0
+    dist_mat_loss_t_filter: float = 0.25
+    aux_loss_weight: float = 0.25
+    noise_scale: float = 1.0  # 0.1 at eval (run_eval.sh:9)
+    num_loader_workers: int = 2
+    # parallelism
+    mesh_shape: tuple = ()  # () = single device; e.g. (8,) data-parallel
+    mesh_axes: tuple = ("data",)
+    bf16: bool = False
+
+
+@dataclass(frozen=True)
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    diffuser: SE3Config = field(default_factory=SE3Config)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    experiment: ExperimentConfig = field(default_factory=ExperimentConfig)
+
+
+# ---------------------------------------------------------------------------
+# overrides / YAML
+# ---------------------------------------------------------------------------
+def _coerce(value: str, current: Any) -> Any:
+    if isinstance(current, bool):
+        return value.lower() in ("1", "true", "yes", "on")
+    if current is None:
+        if value.lower() in ("null", "none"):
+            return None
+        for cast in (int, float):
+            try:
+                return cast(value)
+            except ValueError:
+                pass
+        return value
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(float(value))
+    if isinstance(current, float):
+        return float(value)
+    if isinstance(current, tuple):
+        if not value.strip("()[] "):
+            return ()
+        return tuple(
+            _coerce(v.strip(), current[0] if current else "0")
+            for v in value.strip("()[]").split(",")
+        )
+    return value
+
+
+def _replace_path(obj: Any, path: list[str], value: Any) -> Any:
+    name = path[0]
+    if not hasattr(obj, name):
+        raise KeyError(f"No config field '{name}' on {type(obj).__name__}")
+    current = getattr(obj, name)
+    if len(path) == 1:
+        new = _coerce(value, current) if isinstance(value, str) else value
+        return dataclasses.replace(obj, **{name: new})
+    return dataclasses.replace(obj, **{name: _replace_path(current, path[1:], value)})
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Apply ``section.field=value`` overrides (Hydra-style CLI syntax)."""
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"Override must look like a.b=c, got: {ov}")
+        key, value = ov.split("=", 1)
+        cfg = _replace_path(cfg, key.split("."), value)
+    return cfg
+
+
+def _from_dict(cls, d: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kwargs[f.name] = _from_dict(f.type, v)
+        elif isinstance(v, dict):
+            # resolve nested dataclass types declared as strings
+            default = (
+                f.default_factory() if f.default_factory is not dataclasses.MISSING
+                else f.default
+            )
+            kwargs[f.name] = _from_dict(type(default), v)
+        else:
+            kwargs[f.name] = tuple(v) if isinstance(v, list) else v
+    return cls(**kwargs)
+
+
+def load_yaml(path: str, overrides: list[str] | None = None) -> Config:
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    cfg = _from_dict(Config, raw)
+    return apply_overrides(cfg, overrides or [])
+
+
+def to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,107 @@
+"""Invariant Point Attention (DFOLD fork) in flax/jnp.
+
+Functional reimplementation of the reference's InvariantPointAttention
+(/root/reference/src/model/ipa_pytorch_dynamic.py:242-516) — the OpenFold
+Algorithm-22 fork with the DFOLD extras:
+
+  * the pair representation z is a SINGLE [N, N, c_z] tensor shared by all
+    frames (the reference broadcasts it through torch matmul batching;
+    here the sharing is explicit in the einsums — big memory win at F > 1);
+  * an extra family of NON-frame-inverted point outputs (``o_pt_global``,
+    reference's o_pt_out_ti, lines 470-504), doubling the point features:
+    concat dim per head = c_hidden + c_z//4 + 8 * no_v_points.
+
+Shapes: s [F, N, c_s], z [N, N, c_z], rigids Rigid [F, N], mask [F, N].
+All contractions are MXU-friendly einsums; XLA fuses the three logit terms.
+A Pallas fused-attention variant can swap in behind the same signature for
+long sequences (see ops/pallas).
+"""
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dynamicpdb_tpu.config import IPAConfig
+from dynamicpdb_tpu.models.layers import Linear
+from dynamicpdb_tpu.ops.rigid import Rigid
+
+
+class InvariantPointAttention(nn.Module):
+    cfg: IPAConfig
+    inf: float = 1e5
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, s, z, r: Rigid, mask):
+        c = self.cfg
+        F, N, _ = s.shape
+        H, C, Pq, Pv = c.no_heads, c.c_hidden, c.no_qk_points, c.no_v_points
+
+        # scalar qkv ------------------------------------------------------
+        q = Linear(H * C, "torch", name="linear_q")(s).reshape(F, N, H, C)
+        kv = Linear(2 * H * C, "torch", name="linear_kv")(s).reshape(F, N, H, 2 * C)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        # point qkv (in local frames, lifted to global) --------------------
+        q_pts = Linear(H * Pq * 3, "torch", name="linear_q_points")(s)
+        q_pts = q_pts.reshape(F, N, H * Pq, 3)
+        q_pts = r[..., None].apply(q_pts).reshape(F, N, H, Pq, 3)
+
+        kv_pts = Linear(H * (Pq + Pv) * 3, "torch", name="linear_kv_points")(s)
+        kv_pts = kv_pts.reshape(F, N, H * (Pq + Pv), 3)
+        kv_pts = r[..., None].apply(kv_pts).reshape(F, N, H, Pq + Pv, 3)
+        k_pts, v_pts = kv_pts[..., :Pq, :], kv_pts[..., Pq:, :]
+
+        # attention logits -------------------------------------------------
+        b = Linear(H, "torch", name="linear_b")(z)  # [N, N, H] frame-shared
+        a = jnp.einsum("fihc,fjhc->fhij", q, k) * math.sqrt(1.0 / (3 * C))
+        a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (2, 0, 1))[None]
+
+        pt_disp = q_pts[:, :, None] - k_pts[:, None]  # [F, N, N, H, Pq, 3]
+        pt_att = jnp.sum(pt_disp**2, axis=-1)  # [F, N, N, H, Pq]
+        head_weights = nn.softplus(
+            self.param(
+                "head_weights",
+                lambda key, shape: jnp.full(shape, 0.541324854612918),
+                (H,),
+            )
+        ) * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
+        pt_att = jnp.sum(pt_att * head_weights[None, None, None, :, None], -1)
+        a = a + (-0.5) * jnp.transpose(pt_att, (0, 3, 1, 2))
+
+        square_mask = self.inf * (mask[:, :, None] * mask[:, None, :] - 1.0)
+        a = a + square_mask[:, None]
+        a = nn.softmax(a, axis=-1)  # [F, H, N, N]
+
+        # outputs ----------------------------------------------------------
+        o = jnp.einsum("fhij,fjhc->fihc", a, v).reshape(F, N, H * C)
+
+        o_pt = jnp.einsum("fhij,fjhpx->fihpx", a, v_pts)  # global frame
+        o_pt_global = o_pt  # DFOLD extra: keep the non-inverted copy
+        o_pt_local = r[..., None, None].invert_apply(o_pt)
+
+        o_pt_norm = jnp.sqrt(jnp.sum(o_pt_local**2, -1) + self.eps)
+        o_pt_global_norm = jnp.sqrt(jnp.sum(o_pt_global**2, -1) + self.eps)
+
+        pair_z = Linear(c.c_z // 4, "torch", name="down_z")(z)  # [N, N, cz/4]
+        o_pair = jnp.einsum("fhij,ijd->fihd", a, pair_z).reshape(F, N, -1)
+
+        # feature order mirrors the reference concat
+        # (o, o_pt xyz-unbound, |o_pt|, o_pair, o_pt_global xyz, |o_pt_global|)
+        def unbind_xyz(p):  # [F, N, H, Pv, 3] -> 3 x [F, N, H*Pv]
+            return [p[..., i].reshape(F, N, H * Pv) for i in range(3)]
+
+        o_feats = jnp.concatenate(
+            [
+                o,
+                *unbind_xyz(o_pt_local),
+                o_pt_norm.reshape(F, N, H * Pv),
+                o_pair,
+                *unbind_xyz(o_pt_global),
+                o_pt_global_norm.reshape(F, N, H * Pv),
+            ],
+            axis=-1,
+        )
+        return Linear(c.c_s, "final", name="linear_out")(o_feats)

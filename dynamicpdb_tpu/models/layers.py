@@ -1,0 +1,218 @@
+"""Shared neural building blocks (flax.linen).
+
+Mirrors the layer zoo of the reference's score model
+(/root/reference/src/model/ipa_pytorch_dynamic.py:107-724 and openfold
+structure_module AngleResnet) with AF2 initialization conventions:
+
+  "default" — LeCun fan-in truncated normal
+  "relu"    — He fan-in truncated normal
+  "final"   — zeros (zero-init output layers)
+  "glorot"  — Xavier uniform
+  "gating"  — zero weights, ones bias
+
+``GlobalStatNorm`` reproduces the reference's parameterless ``MyLayerNorm``
+(ipa_pytorch_dynamic.py:709-724): normalization by the *global* mean/std over
+the whole tensor (torch.var's unbiased estimator) — deliberately kept
+batch-statistics-dependent for parity.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax.nn.initializers import variance_scaling, xavier_uniform, zeros
+
+# AF2's truncated-normal correction: 1 / std of truncnorm(-2, 2)
+_TRUNC_CORR = 0.87962566103423978
+
+lecun_init = variance_scaling(1.0, "fan_in", "truncated_normal")
+he_init = variance_scaling(2.0, "fan_in", "truncated_normal")
+final_init = zeros
+glorot_init = xavier_uniform()
+normal_init = variance_scaling(1.0, "fan_in", "normal")
+# torch.nn.Linear / Conv default (kaiming_uniform with a=sqrt(5))
+torch_default_init = variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+INITS = {
+    "default": lecun_init,
+    "relu": he_init,
+    "final": final_init,
+    "glorot": glorot_init,
+    "normal": normal_init,
+    "torch": torch_default_init,
+}
+
+
+def Linear(features: int, init: str = "default", use_bias: bool = True, name=None):
+    """Dense layer with AF2-style init selection; bias always zero-init."""
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        kernel_init=INITS[init],
+        bias_init=zeros,
+        name=name,
+    )
+
+
+class GlobalStatNorm(nn.Module):
+    """(x - mean) / sqrt(var + 1e-4) with mean/var over ALL elements,
+    unbiased variance — exact MyLayerNorm semantics."""
+
+    eps: float = 1e-4
+
+    @nn.compact
+    def __call__(self, x):
+        mean = jnp.mean(x)
+        n = x.size
+        var = jnp.sum((x - mean) ** 2) / jnp.maximum(n - 1, 1)
+        return (x - mean) / jnp.sqrt(var + self.eps)
+
+
+class MLPEmbedder(nn.Module):
+    """Linear -> SiLU -> Linear -> GlobalStatNorm -> SiLU
+    (the force/vel/index/rigid/angle embedders, ipa_pytorch_dynamic.py:757-796)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = Linear(self.features, "torch")(x)
+        x = nn.silu(x)
+        x = Linear(self.features, "torch")(x)
+        x = GlobalStatNorm()(x)
+        return nn.silu(x)
+
+
+class ConvNet(nn.Module):
+    """4 residual double-conv 5x5 blocks over the [F, N] grid
+    (ipa_pytorch_dynamic.py:664-706). Input/output [F, N, C]; treats frames x
+    residues as the spatial plane — the only cross-frame mixing in the model.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = x[None]  # [1, F, N, C] (NHWC)
+        for _ in range(4):
+            r = nn.Conv(self.dim // 2, (5, 5), padding="SAME",
+                        kernel_init=torch_default_init)(h)
+            r = nn.relu(r)
+            r = nn.Conv(self.dim, (5, 5), padding="SAME",
+                        kernel_init=torch_default_init)(r)
+            r = nn.relu(r)
+            h = h + r
+        return h[0]
+
+
+class StructureModuleTransition(nn.Module):
+    """3-layer residual MLP + LayerNorm (ipa_pytorch_dynamic.py:175-197)."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self, s):
+        s0 = s
+        s = nn.relu(Linear(self.c, "relu")(s))
+        s = nn.relu(Linear(self.c, "relu")(s))
+        s = Linear(self.c, "final")(s)
+        return nn.LayerNorm()(s + s0)
+
+
+class EdgeTransition(nn.Module):
+    """Node-conditioned edge update (ipa_pytorch_dynamic.py:200-239)."""
+
+    node_embed_size: int
+    edge_embed_out: int
+    num_layers: int = 2
+    node_dilation: int = 2
+
+    @nn.compact
+    def __call__(self, node_embed, edge_embed):
+        bias_size = self.node_embed_size // self.node_dilation
+        node_embed = Linear(bias_size, "relu")(node_embed)
+        num_res = node_embed.shape[-2]
+        edge_bias = jnp.concatenate(
+            [
+                jnp.tile(node_embed[..., :, None, :], (1,) * (node_embed.ndim - 2) + (1, num_res, 1)),
+                jnp.tile(node_embed[..., None, :, :], (1,) * (node_embed.ndim - 2) + (num_res, 1, 1)),
+            ],
+            axis=-1,
+        )
+        edge_embed = jnp.concatenate([edge_embed, edge_bias], axis=-1)
+        h = edge_embed
+        for _ in range(self.num_layers):
+            h = nn.relu(Linear(edge_embed.shape[-1], "relu")(h))
+        out = Linear(self.edge_embed_out, "final")(h + edge_embed)
+        return nn.LayerNorm()(out)
+
+
+class BackboneUpdate(nn.Module):
+    """Zero-init Linear c -> 6 quaternion+translation update
+    (ipa_pytorch_dynamic.py:575-602)."""
+
+    @nn.compact
+    def __call__(self, s):
+        return Linear(6, "final")(s)
+
+
+class AngleResnetBlock(nn.Module):
+    c_hidden: int
+
+    @nn.compact
+    def __call__(self, a):
+        s = nn.relu(a)
+        s = Linear(self.c_hidden, "relu")(s)
+        s = nn.relu(s)
+        s = Linear(self.c_hidden, "final")(s)
+        return a + s
+
+
+class AngleResnet(nn.Module):
+    """AF2 Algorithm 20 lines 11-14 (openfold structure_module.py:75-160);
+    used with c_in = c_hidden = 5*c_s, no_blocks=2, no_angles=7."""
+
+    c_hidden: int
+    no_blocks: int = 2
+    no_angles: int = 7
+    eps: float = 1e-12
+
+    @nn.compact
+    def __call__(self, s, s_initial):
+        s_initial = Linear(self.c_hidden)(nn.relu(s_initial))
+        s = Linear(self.c_hidden)(nn.relu(s))
+        s = s + s_initial
+        for _ in range(self.no_blocks):
+            s = AngleResnetBlock(self.c_hidden)(s)
+        s = Linear(self.no_angles * 2)(nn.relu(s))
+        s = s.reshape(s.shape[:-1] + (self.no_angles, 2))
+        unnormalized = s
+        norm = jnp.sqrt(jnp.clip(jnp.sum(s**2, -1, keepdims=True), self.eps))
+        return unnormalized, s / norm
+
+
+def timestep_embedding(t, dim: int, max_positions: int = 10000):
+    """Sinusoidal diffusion-time embedding (src/model/utils.py:46-59):
+    t in [0,1] scaled by max_positions."""
+    t = jnp.atleast_1d(t) * max_positions
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_positions) * jnp.arange(half, dtype=jnp.float32) / (half - 1)
+    )
+    args = t[:, None].astype(jnp.float32) * freqs[None]
+    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def index_embedding(indices, embed_size: int, max_len: int = 2056):
+    """Sinusoidal positional embedding over integer indices
+    (src/model/utils.py:5-24)."""
+    K = jnp.arange(embed_size // 2, dtype=jnp.float32)
+    scale = indices[..., None].astype(jnp.float32) * jnp.pi / (
+        max_len ** (2 * K[None] / embed_size)
+    )
+    return jnp.concatenate([jnp.sin(scale), jnp.cos(scale)], axis=-1)

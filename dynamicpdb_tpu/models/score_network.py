@@ -1,0 +1,188 @@
+"""DFOLD score network (flax) — the trajectory-diffusion denoiser.
+
+TPU-native rebuild of the reference FullScoreNetwork + DFOLDIpaScore
+(/root/reference/src/model/Dfold_network_dynamic.py:429-546,
+ /root/reference/src/model/ipa_pytorch_dynamic.py:726-908).
+
+The network operates on ONE window of F frames x N residues (the reference
+flattens [B, F] -> [B*F] and treats dim-0 as frames; here the window is the
+native unit and data-parallel batching is vmap/shard_map on the outside).
+
+Conditioning semantics preserved exactly:
+  * frames 0..F-2 are clean references; the prediction slot F-1 is
+    initialized with a COPY of frame F-2 ("ref-cat", ipa_pytorch_dynamic.py:
+    819-845) for rigids, forces, velocities and torsion angles;
+  * only the last frame's rigid is updated per block (update zeroed on
+    references, :869);
+  * node features = index embedding + expanded OmegaFold node_repr
+    (the DFOLDv2_Embeder LayerNorm outputs are computed-then-overwritten in
+    the reference, :829-834 — that dead path is dropped here);
+  * edge features = expanded OmegaFold edge_repr, one [N, N, c_z] tensor
+    shared by all frames;
+  * x0-prediction converted to rot/trans scores against the noisy rigids_t
+    analytically via the diffuser (:883-897) — done OUTSIDE the nn module in
+    ``score_forward`` so the module stays diffuser-agnostic;
+  * internal/output coordinate scale: final rigids are unscale()d by
+    ipa.coordinate_scaling exactly like the reference (:890), which is
+    identity at the release config's coordinate_scaling=1.0.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from dynamicpdb_tpu.config import ModelConfig
+from dynamicpdb_tpu.models.ipa import InvariantPointAttention
+from dynamicpdb_tpu.models.layers import (
+    AngleResnet,
+    BackboneUpdate,
+    ConvNet,
+    GlobalStatNorm,
+    Linear,
+    MLPEmbedder,
+)
+from dynamicpdb_tpu.ops import frames as frame_ops
+from dynamicpdb_tpu.ops.rigid import Rigid
+
+
+def _ref_cat(x):
+    """[F, ...] -> references + copy of F-2 in the last slot."""
+    return jnp.concatenate([x[:-1], x[-2:-1]], axis=0)
+
+
+class DFoldScoreNetwork(nn.Module):
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, feats: dict[str, Any], drop_ref: bool = False):
+        """Returns the raw x0 prediction for the window.
+
+        feats (single window):
+          rigids_t [F,N,7], rigids_0 [F,N,7], res_mask [F,N], fixed_mask [F,N]
+          seq_idx [F,N] int, node_repr [N,Dn], edge_repr [N,N,De],
+          torsion_angles_sin_cos [F,N,7,2], torsion_angles_mask [F,N,7],
+          force [F,N,3], vel [F,N,3], aatype [F,N] int
+        Outputs dict: rigids (tensor-7, unscaled), angles, unorm_angles,
+          rigid_update, atom14, atom37.
+        """
+        cfg = self.cfg
+        ipa_cfg = cfg.ipa
+        D = cfg.node_embed_size
+
+        node_mask = feats["res_mask"].astype(jnp.float32)  # [F, N]
+        diffuse_mask = (1 - feats["fixed_mask"].astype(jnp.float32)) * node_mask
+        F, N = node_mask.shape
+
+        # OmegaFold representation expansion (Dfold_network_dynamic.py:444-445)
+        expand_node = Linear(D, "torch", name="expand_node")(feats["node_repr"])
+        expand_edge = Linear(cfg.edge_embed_size, "torch", name="expand_edge")(
+            feats["edge_repr"]
+        )  # [N, N, c_z], frame-shared
+
+        # conditioning inputs with the prediction slot seeded from frame F-2
+        curr_rigids = _ref_cat(feats["rigids_0"].astype(jnp.float32))
+        force = _ref_cat(feats["force"].astype(jnp.float32))
+        vel = _ref_cat(feats["vel"].astype(jnp.float32))
+        angle = feats["torsion_angles_sin_cos"].astype(jnp.float32)
+        angle = angle * feats["torsion_angles_mask"][..., None].astype(jnp.float32)
+        angle = _ref_cat(angle).reshape(F, N, -1)  # [F, N, 14]
+
+        force_embed = MLPEmbedder(D, name="force_embeder")(force)
+        vel_embed = MLPEmbedder(D, name="vel_embeder")(vel)
+        angle_embed = MLPEmbedder(D, name="angle_embeder")(angle)
+
+        # node features: index embedding (frame-shared) + OmegaFold node repr
+        seq_idx = feats["seq_idx"][0:1, :, None].astype(jnp.float32)  # [1, N, 1]
+        node_embed = MLPEmbedder(D, name="index_embeder")(seq_idx)
+        node_embed = jnp.broadcast_to(node_embed, (F, N, D))
+        node_embed = node_embed + expand_node[None]
+        node_embed = node_embed * node_mask[..., None]
+        edge_embed = expand_edge
+
+        rigid_embeder = MLPEmbedder(D, name="rigid_embeder")
+        conv = ConvNet(ipa_cfg.c_s * 5, name="conv_0")
+
+        init_node_feat = None
+        rigid_update = None
+        for b in range(ipa_cfg.num_blocks):
+            rigids_embed = rigid_embeder(curr_rigids)
+            ipa_out = InvariantPointAttention(ipa_cfg, name=f"ipa_{b}")(
+                node_embed,
+                edge_embed,
+                Rigid.from_tensor_7(curr_rigids),
+                node_mask,
+            )
+            ipa_out = GlobalStatNorm()(ipa_out)
+            node_feat = jnp.concatenate(
+                [rigids_embed, ipa_out, force_embed, vel_embed, angle_embed],
+                axis=-1,
+            )  # [F, N, 5*c_s]
+            node_feat = conv(node_feat)  # frame-time mixing
+
+            rigid_update = BackboneUpdate(name=f"bb_update_{b}")(node_feat)
+            # never move the reference frames (ipa_pytorch_dynamic.py:869)
+            last_only = jnp.zeros((F, 1, 1)).at[-1].set(1.0)
+            rigid_update = rigid_update * last_only
+
+            curr = Rigid.from_tensor_7(curr_rigids)
+            curr = curr.compose_q_update_vec(rigid_update, diffuse_mask[..., None])
+            curr_rigids = curr.to_tensor_7()
+
+            if b == 0:
+                init_node_feat = node_feat
+
+        unorm_angles, angles = AngleResnet(
+            ipa_cfg.c_s * 5, no_blocks=2, no_angles=7, eps=1e-12,
+            name="angle_resnet",
+        )(node_feat, init_node_feat)
+
+        # unscale exactly like the reference exit path (identity at scaling=1)
+        final = Rigid.from_tensor_7(curr_rigids).scale_translation(
+            1.0 / ipa_cfg.coordinate_scaling
+        )
+
+        # fixed-mask passthrough for angles (Dfold_network_dynamic.py:517-519)
+        fixed = feats["fixed_mask"].astype(jnp.float32)[..., None, None]
+        gt_angles = feats["torsion_angles_sin_cos"].astype(jnp.float32)
+        angles = (1 - fixed) * angles + fixed * gt_angles
+        unorm_angles = (1 - fixed) * unorm_angles + fixed * gt_angles
+
+        # all-atom reconstruction from predicted rigids + torsions
+        aatype = feats["aatype"]
+        all_frames = frame_ops.torsion_angles_to_frames(final, angles, aatype)
+        atom14 = frame_ops.frames_to_atom14_pos(all_frames, aatype)
+        atom37, _ = frame_ops.atom14_to_atom37(atom14, aatype)
+
+        return {
+            "rigids": final.to_tensor_7(),
+            "angles": angles,
+            "unorm_angles": unorm_angles,
+            "rigid_update": rigid_update,
+            "atom14": atom14,
+            "atom37": atom37,
+        }
+
+
+def score_forward(module, params, diffuser, feats, drop_ref: bool = False):
+    """Model forward + analytic score conversion (the reference's full
+    FullScoreNetwork.forward contract: x0 prediction -> rot/trans scores
+    against the noisy rigids_t, ipa_pytorch_dynamic.py:883-897)."""
+    out = module.apply(params, feats, drop_ref)
+    node_mask = feats["res_mask"].astype(jnp.float32)
+    t = feats["t"]
+    init = Rigid.from_tensor_7(feats["rigids_t"].astype(jnp.float32))
+    pred = Rigid.from_tensor_7(out["rigids"])
+
+    rot_score = diffuser.calc_rot_score(init.quat, pred.quat, t)
+    rot_score = rot_score * node_mask[..., None]
+
+    trans_score = diffuser.calc_trans_score(
+        init.trans, pred.trans, t[:, None, None], scale=True
+    )
+    trans_score = trans_score * node_mask[..., None]
+
+    out["rot_score"] = rot_score
+    out["trans_score"] = trans_score
+    return out

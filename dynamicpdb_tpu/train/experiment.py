@@ -1,0 +1,177 @@
+"""Training runtime: jitted train step, optimizer, epoch loop, checkpoints.
+
+Replaces the reference Experiment class (train_DFOLD_dynamics.py:343-1568):
+  * one fused jit step = on-device featurization + forward diffusion + model
+    forward + loss + grad + Adam(amsgrad) update (the reference splits this
+    across DataLoader workers (CPU numpy/scipy), a torch forward, and DDP
+    allreduce);
+  * data parallel via a Mesh + batch sharding (jit emits the grad psum);
+  * checkpoints carry params AND optimizer state + step/epoch (the reference
+    saves optimizer state but never restores it, train:468-499).
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from dynamicpdb_tpu.config import Config
+from dynamicpdb_tpu.data.featurize import diffuse_training_window, featurize_window
+from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Diffuser
+from dynamicpdb_tpu.models.score_network import DFoldScoreNetwork, score_forward
+from dynamicpdb_tpu.parallel import mesh as mesh_lib
+from dynamicpdb_tpu.train.losses import dfold_loss
+
+log = logging.getLogger(__name__)
+
+
+class Trainer:
+    """Owns model/diffuser/optimizer and the compiled train step."""
+
+    def __init__(self, cfg: Config, mesh=None):
+        self.cfg = cfg
+        self.model = DFoldScoreNetwork(cfg.model)
+        self.diffuser = SE3Diffuser(cfg.diffuser)
+        self.optimizer = optax.amsgrad(cfg.experiment.learning_rate)
+        self.mesh = mesh
+        self._train_step = None
+
+    # -- setup ----------------------------------------------------------------
+    def init_params(self, key, sample_window: dict):
+        feats = featurize_window(jax.tree_util.tree_map(jnp.asarray, sample_window))
+        feats = diffuse_training_window(key, feats, self.diffuser, self.cfg.data.min_t)
+        params = self.model.init(key, feats)
+        opt_state = self.optimizer.init(params)
+        return params, opt_state
+
+    # -- the step -------------------------------------------------------------
+    def _window_loss(self, params, key, raw_window):
+        feats = featurize_window(raw_window)
+        feats = diffuse_training_window(
+            key, feats, self.diffuser, self.cfg.data.min_t
+        )
+        out = score_forward(self.model, params, self.diffuser, feats)
+        return dfold_loss(out, feats, self.cfg.experiment)
+
+    def loss_fn(self, params, key, raw_batch):
+        """Mean loss over a [B, ...] batch of raw windows."""
+        bsz = raw_batch["atom37"].shape[0]
+        keys = jax.random.split(key, bsz)
+        losses, aux = jax.vmap(self._window_loss, in_axes=(None, 0, 0))(
+            params, keys, raw_batch
+        )
+        return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, aux)
+
+    def train_step(self, params, opt_state, key, raw_batch):
+        (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+            params, key, raw_batch
+        )
+        updates, opt_state = self.optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        aux["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, aux
+
+    def compiled_train_step(self):
+        """jit once; with a mesh, shard the batch over 'data' and let XLA
+        place the gradient all-reduce on ICI."""
+        if self._train_step is None:
+            donate = (0, 1)
+            if self.mesh is not None:
+                bspec = mesh_lib.batch_sharding(self.mesh)
+                rspec = mesh_lib.replicated(self.mesh)
+                self._train_step = jax.jit(
+                    self.train_step,
+                    donate_argnums=donate,
+                    in_shardings=(rspec, rspec, rspec, bspec),
+                    out_shardings=(rspec, rspec, rspec),
+                )
+            else:
+                self._train_step = jax.jit(self.train_step, donate_argnums=donate)
+        return self._train_step
+
+
+class Experiment:
+    """Epoch loop + logging + checkpointing around a Trainer."""
+
+    def __init__(self, cfg: Config, data_iter_factory, sample_window: dict,
+                 mesh=None):
+        self.cfg = cfg
+        self.trainer = Trainer(cfg, mesh=mesh)
+        self.data_iter_factory = data_iter_factory  # epoch -> Iterator[raw batch]
+        self.key = jax.random.PRNGKey(cfg.experiment.seed)
+        self.key, init_key = jax.random.split(self.key)
+        self.params, self.opt_state = self.trainer.init_params(
+            init_key, sample_window
+        )
+        self.step = 0
+        self.epoch = 0
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
+        log.info("model parameters: %.1fM", n_params / 1e6)
+
+    def train(self, num_epochs: int | None = None, max_steps: int | None = None):
+        cfg = self.cfg.experiment
+        step_fn = self.trainer.compiled_train_step()
+        mesh = self.trainer.mesh
+        history = []
+        rolling = []
+        t_log = time.time()
+        epochs = num_epochs if num_epochs is not None else cfg.num_epoch
+        for epoch in range(self.epoch, self.epoch + epochs):
+            for raw_batch in self.data_iter_factory(epoch):
+                if mesh is not None:
+                    raw_batch = mesh_lib.shard_batch(mesh, raw_batch)
+                self.key, step_key = jax.random.split(self.key)
+                self.params, self.opt_state, aux = step_fn(
+                    self.params, self.opt_state, step_key, raw_batch
+                )
+                self.step += 1
+                rolling.append(aux)
+                if self.step == 1 or self.step % cfg.log_freq == 0:
+                    means = {
+                        k: float(np.mean([float(a[k]) for a in rolling]))
+                        for k in rolling[0]
+                    }
+                    dt = time.time() - t_log
+                    sps = len(rolling) / dt if dt > 0 else float("inf")
+                    log.info(
+                        "epoch %d step %d: %s steps/sec=%.3f",
+                        epoch, self.step,
+                        " ".join(f"{k}={v:.4f}" for k, v in means.items()),
+                        sps,
+                    )
+                    history.append({"step": self.step, **means, "steps_per_sec": sps})
+                    rolling = []
+                    t_log = time.time()
+                if max_steps is not None and self.step >= max_steps:
+                    self.epoch = epoch
+                    return history
+            self.epoch = epoch
+            if cfg.ckpt_dir and epoch and epoch % cfg.ckpt_freq == 0:
+                self.save_checkpoint()
+        return history
+
+    # -- checkpointing ---------------------------------------------------------
+    def save_checkpoint(self, path: str | None = None):
+        from dynamicpdb_tpu.train import checkpoint as ckpt
+
+        path = path or f"{self.cfg.experiment.ckpt_dir}/step_{self.step}.ckpt"
+        ckpt.save(path, self.params, self.opt_state, self.step, self.epoch, self.cfg)
+        log.info("checkpoint written: %s", path)
+        return path
+
+    def load_checkpoint(self, path: str):
+        from dynamicpdb_tpu.train import checkpoint as ckpt
+
+        state = ckpt.restore(path, self.params, self.opt_state)
+        self.params = state["params"]
+        if state.get("opt_state") is not None:
+            self.opt_state = state["opt_state"]
+        self.step = state["step"]
+        self.epoch = state["epoch"]

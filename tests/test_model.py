@@ -1,0 +1,136 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamicpdb_tpu.config import Config, IPAConfig, ModelConfig
+from dynamicpdb_tpu.data.featurize import (
+    diffuse_training_window,
+    eval_init_window,
+    featurize_window,
+)
+from dynamicpdb_tpu.data.synthetic import make_window
+from dynamicpdb_tpu.diffusion.r3_diffuser import R3Config
+from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Config, SE3Diffuser
+from dynamicpdb_tpu.diffusion.so3_diffuser import SO3Config
+from dynamicpdb_tpu.models.score_network import DFoldScoreNetwork, score_forward
+
+TINY_IPA = IPAConfig(
+    c_s=16, c_z=8, c_hidden=8, no_heads=2, no_qk_points=2, no_v_points=3,
+    num_blocks=2,
+)
+TINY_MODEL = ModelConfig(node_embed_size=16, edge_embed_size=8, ipa=TINY_IPA)
+TINY_SE3 = SE3Config(
+    so3=SO3Config(num_omega=100, num_sigma=50, cache_dir=None, series_L=100),
+    r3=R3Config(coordinate_scaling=1.0),
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    w = make_window(n_res=10, frame_time=3, seed=0)
+    diffuser = SE3Diffuser(TINY_SE3)
+    feats = featurize_window(jax.tree_util.tree_map(jnp.asarray, w))
+    feats = diffuse_training_window(
+        jax.random.PRNGKey(1), feats, diffuser, min_t=0.01
+    )
+    model = DFoldScoreNetwork(TINY_MODEL)
+    params = model.init(jax.random.PRNGKey(0), feats)
+    return w, diffuser, feats, model, params
+
+
+def test_output_shapes(setup):
+    _, diffuser, feats, model, params = setup
+    out = score_forward(model, params, diffuser, feats)
+    F, N = feats["res_mask"].shape
+    assert out["rigids"].shape == (F, N, 7)
+    assert out["angles"].shape == (F, N, 7, 2)
+    assert out["rot_score"].shape == (F, N, 3)
+    assert out["trans_score"].shape == (F, N, 3)
+    assert out["atom37"].shape == (F, N, 37, 3)
+    assert out["atom14"].shape == (F, N, 14, 3)
+    for v in jax.tree_util.tree_leaves(out):
+        assert bool(jnp.all(jnp.isfinite(v)))
+
+
+def test_zero_init_predicts_previous_frame(setup):
+    """BackboneUpdate is zero-init, so at initialization the prediction slot
+    must carry frame F-2 verbatim (the reference's RefAsPred baseline) —
+    ref-cat conditioning (ipa_pytorch_dynamic.py:819) + zeroed updates."""
+    _, _, feats, model, params = setup
+    out = model.apply(params, feats)
+    np.testing.assert_allclose(
+        np.asarray(out["rigids"][-1]), np.asarray(feats["rigids_0"][-2]), atol=1e-5
+    )
+    # reference frames pass through untouched
+    np.testing.assert_allclose(
+        np.asarray(out["rigids"][:-1]), np.asarray(feats["rigids_0"][:-1]), atol=1e-5
+    )
+
+
+def test_reference_frames_never_move_after_training_updates(setup):
+    """Even with non-zero updates, frames 0..F-2 must stay clean."""
+    _, diffuser, feats, model, params = setup
+    # jam the update weights with noise
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    for k in flat:
+        if "bb_update" in "/".join(map(str, k)):
+            flat[k] = jnp.ones_like(flat[k]) * 0.05
+    params2 = flax.traverse_util.unflatten_dict(flat)
+    out = model.apply(params2, feats)
+    np.testing.assert_allclose(
+        np.asarray(out["rigids"][:-1]), np.asarray(feats["rigids_0"][:-1]), atol=1e-5
+    )
+    # but the prediction frame did move
+    assert np.abs(np.asarray(out["rigids"][-1] - feats["rigids_0"][-2])).max() > 1e-4
+
+
+def test_score_conversion_at_perfect_prediction(setup):
+    """If the network predicted the exact clean frames, its scores must equal
+    the forward-marginal score targets (training consistency)."""
+    w, diffuser, feats, model, params = setup
+    from dynamicpdb_tpu.ops.rigid import Rigid
+
+    init = Rigid.from_tensor_7(feats["rigids_t"])
+    clean = Rigid.from_tensor_7(feats["rigids_0"])
+    rot_score = diffuser.calc_rot_score(init.quat, clean.quat, feats["t"])
+    np.testing.assert_allclose(
+        np.asarray(rot_score), np.asarray(feats["rot_score"]), atol=5e-2, rtol=5e-2
+    )
+    trans_score = diffuser.calc_trans_score(
+        init.trans, clean.trans, feats["t"][:, None, None], scale=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(trans_score), np.asarray(feats["trans_score"]), atol=1e-3
+    )
+
+
+def test_featurize_eval_init(setup):
+    w, diffuser, _, _, _ = setup
+    feats = featurize_window(jax.tree_util.tree_map(jnp.asarray, w))
+    ev = eval_init_window(jax.random.PRNGKey(3), feats, diffuser)
+    assert float(ev["t"][0]) == 1.0
+    assert ev["rigids_t"].shape == feats["rigids_0"].shape
+
+
+def test_masked_residues_do_not_leak(setup):
+    """Zeroing res_mask on some residues: outputs on kept residues must be
+    invariant to the masked residues' node inputs (attention masking)."""
+    _, diffuser, feats, model, params = setup
+    f1 = dict(feats)
+    mask = jnp.ones_like(f1["res_mask"]).at[:, -2:].set(0.0)
+    f1["res_mask"] = mask
+    out1 = model.apply(params, f1)
+
+    f2 = dict(f1)
+    f2["node_repr"] = f1["node_repr"].at[-2:].set(99.0)
+    out2 = model.apply(params, f2)
+    # masked-node perturbation must not change kept-residue attention output;
+    # conv mixes spatially, so compare only a strict-interior residue window
+    np.testing.assert_allclose(
+        np.asarray(out1["rigids"][:, :4]), np.asarray(out2["rigids"][:, :4]),
+        atol=1e-4,
+    )

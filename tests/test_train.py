@@ -1,0 +1,111 @@
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamicpdb_tpu.config import Config, ExperimentConfig, IPAConfig, ModelConfig
+from dynamicpdb_tpu.data.synthetic import make_window
+from dynamicpdb_tpu.diffusion.r3_diffuser import R3Config
+from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Config
+from dynamicpdb_tpu.diffusion.so3_diffuser import SO3Config
+from dynamicpdb_tpu.train.experiment import Experiment, Trainer
+
+TINY_CFG = Config(
+    model=ModelConfig(
+        node_embed_size=16,
+        edge_embed_size=8,
+        ipa=IPAConfig(
+            c_s=16, c_z=8, c_hidden=8, no_heads=2, no_qk_points=2,
+            no_v_points=3, num_blocks=1,
+        ),
+    ),
+    diffuser=SE3Config(
+        so3=SO3Config(num_omega=100, num_sigma=50, cache_dir=None, series_L=100),
+        r3=R3Config(coordinate_scaling=1.0),
+    ),
+)
+
+
+@pytest.fixture(scope="module")
+def window():
+    return make_window(n_res=8, frame_time=2, seed=0)
+
+
+def test_train_step_decreases_loss(window):
+    trainer = Trainer(TINY_CFG)
+    key = jax.random.PRNGKey(0)
+    params, opt_state = trainer.init_params(key, window)
+    step = trainer.compiled_train_step()
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.stack([x] * 2)), window
+    )
+    losses = []
+    for _ in range(12):
+        key, sk = jax.random.split(key)
+        params, opt_state, aux = step(params, opt_state, sk, batch)
+        losses.append(float(aux["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
+
+
+def test_experiment_loop_and_checkpoint(window):
+    def data_iter(epoch):
+        batch = jax.tree_util.tree_map(lambda x: np.stack([x] * 2), window)
+        for _ in range(2):
+            yield batch
+
+    exp = Experiment(TINY_CFG, data_iter, window)
+    history = exp.train(num_epochs=2)
+    assert exp.step == 4
+    assert history and "total_loss" in history[0]
+
+    with tempfile.TemporaryDirectory() as d:
+        path = exp.save_checkpoint(os.path.join(d, "test.ckpt"))
+        step_before = exp.step
+        params_before = jax.tree_util.tree_leaves(exp.params)[0].copy()
+
+        exp2 = Experiment(TINY_CFG, data_iter, window)
+        exp2.load_checkpoint(path)
+        assert exp2.step == step_before
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(exp2.params)[0]),
+            np.asarray(params_before),
+        )
+        # resumed experiment keeps training
+        exp2.train(num_epochs=1)
+        assert exp2.step == step_before + 2
+
+
+def test_loss_guard_zeroes_outliers(window):
+    """trans_loss >= 100 must zero all loss terms (train:1338-1340)."""
+    from dynamicpdb_tpu.train.losses import dfold_loss
+
+    F, N = 2, 8
+    rng = np.random.default_rng(0)
+    batch = {
+        "res_mask": jnp.ones((F, N)),
+        "fixed_mask": jnp.zeros((F, N)),
+        "t": jnp.full((F,), 0.5),
+        "rigids_0": jnp.asarray(rng.normal(size=(F, N, 7)), jnp.float32),
+        "rot_score": jnp.zeros((F, N, 3)),
+        "rot_score_scaling": jnp.ones((F,)),
+        "torsion_angles_sin_cos": jnp.zeros((F, N, 7, 2)),
+        "alt_torsion_angles_sin_cos": jnp.zeros((F, N, 7, 2)),
+        "torsion_angles_mask": jnp.ones((F, N, 7)),
+    }
+    model_out = {
+        "angles": jnp.zeros((F, N, 7, 2)),
+        "rigids": jnp.asarray(
+            np.concatenate(
+                [rng.normal(size=(F, N, 4)), np.full((F, N, 3), 1000.0)], -1
+            ),
+            jnp.float32,
+        ),
+        "rot_score": jnp.zeros((F, N, 3)),
+    }
+    total, aux = dfold_loss(model_out, batch, ExperimentConfig())
+    assert float(total) == 0.0
