@@ -1,0 +1,101 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamicpdb_tpu.data.featurize import eval_init_window, featurize_window
+from dynamicpdb_tpu.data.synthetic import make_window
+from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Diffuser
+from dynamicpdb_tpu.models.score_network import DFoldScoreNetwork
+from dynamicpdb_tpu.sampling.evaluate import evaluate
+from dynamicpdb_tpu.sampling.reverse import make_sampler, reverse_sample, rollout
+from tests.test_model import TINY_MODEL, TINY_SE3
+
+
+@pytest.fixture(scope="module")
+def setup():
+    w = make_window(n_res=10, frame_time=2, seed=1)
+    diffuser = SE3Diffuser(TINY_SE3)
+    model = DFoldScoreNetwork(TINY_MODEL)
+    feats = featurize_window(jax.tree_util.tree_map(jnp.asarray, w))
+    feats = eval_init_window(jax.random.PRNGKey(0), feats, diffuser)
+    params = model.init(jax.random.PRNGKey(0), feats)
+    return w, diffuser, model, feats, params
+
+
+def test_reverse_sample_shapes_and_finiteness(setup):
+    _, diffuser, model, feats, params = setup
+    out = reverse_sample(
+        jax.random.PRNGKey(1), model, params, diffuser, feats,
+        num_t=4, noise_scale=0.1, aux_traj=True,
+    )
+    F, N = feats["res_mask"].shape
+    assert out["rigids"].shape == (F, N, 7)
+    assert out["prot_traj"].shape == (4, F, N, 37, 3)
+    assert out["rigid_traj"].shape == (4, F, N, 7)
+    for v in jax.tree_util.tree_leaves(out):
+        assert bool(jnp.all(jnp.isfinite(v)))
+
+
+def test_zero_init_model_sampler_returns_refaspred(setup):
+    """With a zero-init network the sampler's final prediction must be the
+    RefAsPred baseline (frame F-2 of the clean references), regardless of the
+    noise trajectory — validates the final-step x0 rule."""
+    _, diffuser, model, feats, params = setup
+    out = reverse_sample(
+        jax.random.PRNGKey(2), model, params, diffuser, feats, num_t=3,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rigids"][-1]),
+        np.asarray(feats["rigids_0"][-2]),
+        atol=1e-5,
+    )
+
+
+def test_sampler_jit_compiles_once(setup):
+    _, diffuser, model, feats, params = setup
+    fn = make_sampler(model, diffuser, num_t=3, noise_scale=0.1)
+    o1 = fn(params, jax.random.PRNGKey(1), feats)
+    o2 = fn(params, jax.random.PRNGKey(2), feats)
+    # different keys -> different reverse noise, same final x0 (zero-init net)
+    np.testing.assert_allclose(
+        np.asarray(o1["rigids"]), np.asarray(o2["rigids"]), atol=1e-5
+    )
+
+
+def test_rollout_extension(setup):
+    _, diffuser, model, feats, params = setup
+    atom_traj, rigid_traj = jax.jit(
+        lambda p, k: rollout(
+            k, model, p, diffuser, feats, n_steps=5, num_t=2,
+            noise_scale=0.1,
+        )
+    )(params, jax.random.PRNGKey(3))
+    F, N = feats["res_mask"].shape
+    assert atom_traj.shape == (5, N, 37, 3)
+    assert rigid_traj.shape == (5, N, 7)
+    assert bool(jnp.all(jnp.isfinite(atom_traj)))
+    # zero-init net: every rolled-out frame keeps the F-2 reference rigid
+    np.testing.assert_allclose(
+        np.asarray(rigid_traj[0]), np.asarray(feats["rigids_0"][-2]), atol=1e-5
+    )
+
+
+def test_evaluate_driver(setup):
+    w, diffuser, model, feats, params = setup
+    rows, means = evaluate(
+        model, params, diffuser, [dict(w, name="synth")],
+        key=jax.random.PRNGKey(4), num_t=3, noise_scale=0.1,
+    )
+    assert rows[0]["name"] == "synth"
+    for k in ("ave_rot", "ave_trans", "all_atom_mae", "all_atom_rmsd",
+              "ref_ave_rot", "ref_ave_trans"):
+        assert np.isfinite(rows[0][k])
+    # zero-init network == RefAsPred -> rigid errors match the baseline
+    np.testing.assert_allclose(
+        rows[0]["ave_rot"], rows[0]["ref_ave_rot"], atol=1e-3
+    )
+    np.testing.assert_allclose(
+        rows[0]["ave_trans"], rows[0]["ref_ave_trans"], atol=1e-3
+    )
