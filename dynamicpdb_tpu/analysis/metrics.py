@@ -57,8 +57,8 @@ def kabsch_align(a, b, weights=None):
     u, s, vh = jnp.linalg.svd(H, full_matrices=False)
     sgn = jnp.sign(jnp.linalg.det(u @ vh))
     u = u.at[..., :, -1].multiply(sgn[..., None])
-    rot = u @ vh  # rotates b_c into a_c
-    return jnp.einsum("...ij,...nj->...ni", jnp.swapaxes(rot, -1, -2), b_c) + a_mean
+    rot = u @ vh  # b_c @ rot^T lands on a_c (rmsdalign, train:74-97)
+    return jnp.einsum("...nj,...ij->...ni", b_c, rot) + a_mean
 
 
 def superimposed_rmsd(pred, gt, mask=None):
