@@ -1,0 +1,110 @@
+"""Benchmark: flagship DFOLD model on the attached TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric: autoregressive rollout throughput (frames/sec) at the
+reference's release config (256 residues padded, frame_time=2, num_t=10
+reverse steps — run_train.sh / BASELINE.md). vs_baseline is measured against
+the BASELINE.json north-star target of 20 frames/sec for 1000-frame rollouts
+(the reference publishes no quantitative numbers, BASELINE.md).
+Extra fields report train-step throughput (fwd+bwd+adam, batch of 1 window).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+N_RES = 256
+FRAME_TIME = 2
+NUM_T = 10
+TRAIN_STEPS = 8
+ROLLOUT_FRAMES = 4
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dynamicpdb_tpu.config import Config
+    from dynamicpdb_tpu.data.featurize import eval_init_window, featurize_window
+    from dynamicpdb_tpu.data.synthetic import make_window
+    from dynamicpdb_tpu.diffusion.r3_diffuser import R3Config
+    from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Config, SE3Diffuser
+    from dynamicpdb_tpu.diffusion.so3_diffuser import SO3Config
+    from dynamicpdb_tpu.sampling.reverse import rollout
+    from dynamicpdb_tpu.train.experiment import Trainer
+
+    dev = jax.devices()[0]
+    print(f"bench device: {dev}", file=sys.stderr)
+
+    cfg = Config(
+        diffuser=SE3Config(
+            so3=SO3Config(cache_dir=".cache/igso3"),
+            r3=R3Config(coordinate_scaling=1.0),
+        )
+    )
+    window = make_window(n_res=N_RES, frame_time=FRAME_TIME, seed=0)
+
+    trainer = Trainer(cfg)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    params, opt_state = trainer.init_params(key, window)
+    print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # --- train-step throughput -------------------------------------------
+    step = trainer.compiled_train_step()
+    batch = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], window)
+    t0 = time.time()
+    params, opt_state, aux = step(params, opt_state, key, batch)
+    jax.block_until_ready(aux)
+    compile_s = time.time() - t0
+    print(f"train step compile+first: {compile_s:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    for i in range(TRAIN_STEPS):
+        key, sk = jax.random.split(key)
+        params, opt_state, aux = step(params, opt_state, sk, batch)
+    jax.block_until_ready(aux)
+    train_sps = TRAIN_STEPS / (time.time() - t0)
+    print(f"train steps/sec: {train_sps:.3f}", file=sys.stderr)
+
+    # --- rollout throughput ----------------------------------------------
+    diffuser = trainer.diffuser
+    model = trainer.model
+    feats = featurize_window(jax.tree_util.tree_map(jnp.asarray, window))
+    feats = eval_init_window(jax.random.PRNGKey(1), feats, diffuser)
+
+    roll = jax.jit(
+        lambda p, k: rollout(
+            k, model, p, diffuser, feats,
+            n_steps=ROLLOUT_FRAMES, num_t=NUM_T, noise_scale=0.1,
+        )
+    )
+    t0 = time.time()
+    out = roll(params, jax.random.PRNGKey(2))
+    jax.block_until_ready(out)
+    print(f"rollout compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    out = roll(params, jax.random.PRNGKey(3))
+    jax.block_until_ready(out)
+    fps = ROLLOUT_FRAMES / (time.time() - t0)
+    print(f"rollout frames/sec: {fps:.3f}", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "rollout_frames_per_sec_256res_numt10",
+                "value": round(fps, 3),
+                "unit": "frames/sec",
+                "vs_baseline": round(fps / 20.0, 3),
+                "train_steps_per_sec_256res": round(train_sps, 3),
+                "device": str(dev),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -122,11 +122,11 @@ class Config:
 # overrides / YAML
 # ---------------------------------------------------------------------------
 def _coerce(value: str, current: Any) -> Any:
+    if value.lower() in ("null", "none"):
+        return None
     if isinstance(current, bool):
         return value.lower() in ("1", "true", "yes", "on")
     if current is None:
-        if value.lower() in ("null", "none"):
-            return None
         for cast in (int, float):
             try:
                 return cast(value)

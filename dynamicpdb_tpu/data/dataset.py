@@ -1,0 +1,204 @@
+"""Trajectory dataset: CSV manifest -> windowed raw training examples.
+
+Host-side replacement for the reference PdbDataset + samplers
+(/root/reference/src/data/Dfold_data_loader_dynamic.py:102-528) with the
+heavy featurization moved on-device (data/featurize.py). The host only:
+  * reads the CSV manifest (columns: name, seqres, atlas_npz, embed_path,
+    force_path, vel_path, pdb_path, seq_len — README.md:205-211);
+  * mmaps the trajectory npz and selects an F-frame window at stride k
+    (random start over frames[:keep_first] when training, fixed
+    fix_sample_start at eval — loader :165-218);
+  * loads the C-alpha force/vel pickles and the OmegaFold embedding npz;
+  * optionally pads the residue axis to a fixed size so every batch has one
+    static shape (ONE XLA compilation across proteins — a TPU must-have the
+    torch reference does not need).
+
+Also accepts the single-bundle npz layout written by
+data/synthetic.make_trajectory_npz (keys: all_atom_positions, force, vel,
+node_repr, edge_repr, ...) so tests/benchmarks run with no external data.
+"""
+from __future__ import annotations
+
+import logging
+import os
+import pickle
+from dataclasses import dataclass
+
+import numpy as np
+
+from dynamicpdb_tpu.config import DataConfig
+
+log = logging.getLogger(__name__)
+
+
+def _load_force_vel(path: str, suffix: str) -> np.ndarray:
+    """Reference quirk preserved: force uses '_Ca.pkl', velocity '_ca.pkl'
+    (loader :195-198)."""
+    real = path.replace(".pkl", suffix)
+    with open(real, "rb") as f:
+        return pickle.load(f)
+
+
+def pad_window(raw: dict, pad_to: int) -> dict:
+    """Zero-pad the residue axis to pad_to (masks keep semantics)."""
+    n = raw["aatype"].shape[0]
+    if n >= pad_to:
+        return raw
+    p = pad_to - n
+
+    def pad(x, axes):
+        widths = [(0, 0)] * x.ndim
+        for ax in axes:
+            widths[ax] = (0, p)
+        return np.pad(x, widths)
+
+    out = dict(raw)
+    out["atom37"] = pad(raw["atom37"], [1])
+    out["atom37_mask"] = pad(raw["atom37_mask"], [0])
+    out["aatype"] = pad(raw["aatype"], [0])
+    out["residue_index"] = pad(raw["residue_index"], [0])
+    out["force"] = pad(raw["force"], [1])
+    out["vel"] = pad(raw["vel"], [1])
+    out["node_repr"] = pad(raw["node_repr"], [0])
+    out["edge_repr"] = pad(raw["edge_repr"], [0, 1])
+    return out
+
+
+class TrajectoryDataset:
+    """Index-addressable set of proteins; __call__ draws one window."""
+
+    def __init__(self, cfg: DataConfig, *, split: str = "train",
+                 pad_to: int | None = None):
+        import pandas as pd
+
+        self.cfg = cfg
+        self.split = split
+        self.pad_to = pad_to
+        csv_path = {
+            "train": cfg.csv_path,
+            "val": cfg.val_csv_path or cfg.csv_path,
+            "test": cfg.test_csv_path or cfg.val_csv_path or cfg.csv_path,
+        }[split]
+        df = pd.read_csv(csv_path)
+        if "seq_len" in df:
+            df = df[df.seq_len <= cfg.filtering.max_len]
+        self.df = df.reset_index(drop=True)
+        log.info("%s dataset: %d proteins from %s", split, len(self.df), csv_path)
+
+    def __len__(self):
+        return len(self.df)
+
+    # -- window extraction ----------------------------------------------------
+    def _select_window(self, n_frames: int, rng: np.random.Generator):
+        F, k = self.cfg.frame_time, self.cfg.frame_sample_step
+        if self.split == "train":
+            limit = min(n_frames, self.cfg.keep_first or n_frames)
+            hi = limit - F * k + 1
+            if hi < 1:
+                raise ValueError(
+                    f"trajectory too short: {n_frames} frames for window "
+                    f"F={F} stride={k}"
+                )
+            start = int(rng.integers(0, hi))
+        else:
+            start = self.cfg.fix_sample_start or 0
+            if start + F * k > n_frames:
+                start = max(0, n_frames - F * k)
+        return slice(start, start + F * k, k)
+
+    def get_window(self, idx: int, rng: np.random.Generator) -> dict:
+        row = self.df.iloc[idx]
+        bundle = np.load(row["atlas_npz"], allow_pickle=True, mmap_mode="r")
+        positions = bundle["all_atom_positions"]
+        sel = self._select_window(positions.shape[0], rng)
+
+        if "force" in getattr(bundle, "files", []):
+            force, vel = bundle["force"], bundle["vel"]
+        else:
+            force = _load_force_vel(row["force_path"], "_Ca.pkl")
+            vel = _load_force_vel(row["vel_path"], "_ca.pkl")
+
+        if "node_repr" in getattr(bundle, "files", []):
+            node_repr, edge_repr = bundle["node_repr"], bundle["edge_repr"]
+        else:
+            embed = np.load(row["embed_path"])
+            node_repr, edge_repr = embed["node_repr"], embed["edge_repr"]
+
+        aatype = bundle["aatype"]
+        if aatype.ndim == 2:  # one-hot (reference layout)
+            aatype = np.argmax(aatype, axis=-1)
+
+        mask = np.asarray(bundle["all_atom_mask"], np.float32)
+        atom37 = np.asarray(positions[sel], np.float32) * mask[None, ..., None]
+
+        raw = {
+            "name": str(row.get("name", f"idx{idx}")),
+            "atom37": atom37,
+            "atom37_mask": mask,
+            "aatype": np.asarray(aatype, np.int32),
+            "residue_index": np.asarray(bundle["residue_index"], np.int32),
+            "force": np.asarray(force[sel], np.float32),
+            "vel": np.asarray(vel[sel], np.float32),
+            "node_repr": np.asarray(node_repr, np.float32),
+            "edge_repr": np.asarray(edge_repr, np.float32),
+        }
+        if self.pad_to:
+            name = raw.pop("name")
+            raw = pad_window(raw, self.pad_to)
+            raw["name"] = name
+        return raw
+
+
+@dataclass
+class EpochSampler:
+    """Epoch-seeded deterministic shuffle + batch-size repetition + host
+    striding — the reference DistributedTrainSampler contract
+    (Dfold_data_loader_dynamic.py:455-528): every host sees the same epoch
+    permutation; each dataset index is repeated batch_size times so one batch
+    holds multiple diffusion draws of the same protein window."""
+
+    n_items: int
+    batch_size: int
+    seed: int = 0
+    num_hosts: int = 1
+    host_index: int = 0
+    shuffle: bool = True
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.default_rng(self.seed + epoch)
+        idx = (
+            rng.permutation(self.n_items) if self.shuffle
+            else np.arange(self.n_items)
+        )
+        idx = np.repeat(idx, self.batch_size)
+        total = int(np.ceil(len(idx) / self.num_hosts)) * self.num_hosts
+        if total > len(idx):
+            idx = np.concatenate([idx, idx[: total - len(idx)]])
+        return idx[self.host_index :: self.num_hosts]
+
+
+def batch_iterator(dataset: TrajectoryDataset, sampler: EpochSampler,
+                   epoch: int, *, drop_names: bool = True):
+    """Yield stacked [B, ...] numpy batches for one epoch (batch = the
+    repeated copies of one protein index, matching the reference's
+    time_batch batching where every batch shares one protein/shape)."""
+    idx = sampler.epoch_indices(epoch)
+    rng = np.random.default_rng(
+        np.random.SeedSequence([sampler.seed, epoch, sampler.host_index])
+    )
+    B = sampler.batch_size
+    for i in range(0, len(idx) - B + 1, B):
+        windows = [dataset.get_window(int(j), rng) for j in idx[i : i + B]]
+        if drop_names:
+            for w in windows:
+                w.pop("name", None)
+        yield {
+            k: np.stack([w[k] for w in windows]) for k in windows[0]
+        }
+
+
+def eval_windows(dataset: TrajectoryDataset):
+    """One deterministic window per protein for evaluation."""
+    for i in range(len(dataset)):
+        rng = np.random.default_rng(i)
+        yield dataset.get_window(i, rng)

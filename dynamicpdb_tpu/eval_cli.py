@@ -1,0 +1,117 @@
+"""Evaluation CLI.
+
+    python -m dynamicpdb_tpu.eval_cli --ckpt step_1000.ckpt \
+        data.test_csv_path=test.csv experiment.noise_scale=0.1
+
+Replaces /root/reference/eval_DFOLD_dynamics.py: loads the checkpoint
+(merging its saved model config over the live config, as the reference
+Evaluator does at eval:121), builds the test dataset, reverse-samples every
+protein and prints ave_rot / ave_trans / ave_atom_mae / ave_atom_rmsd.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+
+import jax
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--config", default=None)
+    parser.add_argument("--save-dir", default=None)
+    parser.add_argument("--extension", type=int, default=0,
+                        help="if >0, run an N-step autoregressive rollout "
+                        "per protein instead of single-window eval")
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    log = logging.getLogger("eval")
+
+    import numpy as np
+
+    from dynamicpdb_tpu import config as config_lib
+    from dynamicpdb_tpu.data.dataset import TrajectoryDataset, eval_windows
+    from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Diffuser
+    from dynamicpdb_tpu.models.score_network import DFoldScoreNetwork
+    from dynamicpdb_tpu.sampling.evaluate import evaluate
+    from dynamicpdb_tpu.train import checkpoint as ckpt_lib
+    from dynamicpdb_tpu.train.experiment import Trainer
+
+    cfg = (
+        config_lib.load_yaml(args.config, args.overrides)
+        if args.config
+        else config_lib.apply_overrides(config_lib.Config(), args.overrides)
+    )
+
+    # restore checkpoint; merge its saved model config (eval:113-136)
+    with open(args.ckpt, "rb") as f:
+        from flax import serialization
+
+        payload = serialization.msgpack_restore(f.read())
+    if payload.get("config"):
+        saved = json.loads(payload["config"])
+        model_over = [
+            f"model.{k}={v}"
+            for k, v in saved.get("model", {}).items()
+            if not isinstance(v, dict)
+        ]
+        cfg = config_lib.apply_overrides(cfg, model_over)
+
+    dataset = TrajectoryDataset(
+        cfg.data, split="test", pad_to=cfg.data.filtering.max_len
+    )
+    trainer = Trainer(cfg)
+    sample = dataset.get_window(0, np.random.default_rng(0))
+    sample.pop("name", None)
+    key = jax.random.PRNGKey(cfg.experiment.seed)
+    params, _ = trainer.init_params(key, sample)
+    state = ckpt_lib.restore(args.ckpt, params)
+    params = state["params"]
+    log.info("loaded %s (step %d)", args.ckpt, state["step"])
+
+    if args.extension:
+        import jax.numpy as jnp
+
+        from dynamicpdb_tpu.data.featurize import featurize_window
+        from dynamicpdb_tpu.sampling.reverse import rollout
+
+        for raw in eval_windows(dataset):
+            name = raw.pop("name")
+            feats = featurize_window(jax.tree_util.tree_map(jnp.asarray, raw))
+            atom_traj, rigid_traj = jax.jit(
+                lambda p, k, f: rollout(
+                    k, trainer.model, p, trainer.diffuser, f,
+                    n_steps=args.extension, num_t=cfg.data.num_t,
+                    noise_scale=cfg.experiment.noise_scale,
+                )
+            )(params, key, feats)
+            out = f"{args.save_dir or '.'}/{name}_extension.npz"
+            np.savez_compressed(
+                out,
+                atom_traj=np.asarray(atom_traj),
+                rigid_traj=np.asarray(rigid_traj),
+                aatype=raw["aatype"],
+            )
+            log.info("extension saved: %s", out)
+        return
+
+    rows, means = evaluate(
+        trainer.model, params, trainer.diffuser, eval_windows(dataset),
+        key=key,
+        num_t=cfg.data.num_t,
+        min_t=cfg.data.min_t,
+        noise_scale=cfg.experiment.noise_scale,
+        save_dir=args.save_dir,
+    )
+    print("ave_rot:", means["ave_rot"])
+    print("ave_trans:", means["ave_trans"])
+    print("ave_atom_mae:", means["all_atom_mae"])
+    print("ave_atom_rmsd:", means["all_atom_rmsd"])
+
+
+if __name__ == "__main__":
+    main()

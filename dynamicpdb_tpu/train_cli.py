@@ -1,0 +1,88 @@
+"""Training CLI.
+
+Usage (mirrors the reference's Hydra-override style, run_train.sh):
+
+    python -m dynamicpdb_tpu.train_cli [--config cfg.yaml] \
+        data.csv_path=train.csv data.frame_time=2 \
+        experiment.trans_loss_weight=100.0 ...
+
+Replaces /root/reference/train_DFOLD_dynamics.py's __main__ + DDP launch:
+multi-chip runs need no torchrun-style launcher — JAX SPMD drives all local
+devices from one process (multi-host: one process per host, same command).
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None, help="YAML config path")
+    parser.add_argument("--pad-to", type=int, default=None,
+                        help="pad residue axis to fixed size (static shapes)")
+    parser.add_argument("--max-steps", type=int, default=None)
+    parser.add_argument("--eval-every", type=int, default=0,
+                        help="epochs between eval passes (0 = off)")
+    parser.add_argument("overrides", nargs="*", help="a.b=c config overrides")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s: %(message)s",
+    )
+    log = logging.getLogger("train")
+
+    from dynamicpdb_tpu.config import Config, apply_overrides, load_yaml
+    from dynamicpdb_tpu.data.dataset import (
+        EpochSampler,
+        TrajectoryDataset,
+        batch_iterator,
+    )
+    from dynamicpdb_tpu.parallel import mesh as mesh_lib
+    from dynamicpdb_tpu.train.experiment import Experiment
+
+    cfg = (
+        load_yaml(args.config, args.overrides)
+        if args.config
+        else apply_overrides(Config(), args.overrides)
+    )
+
+    pad_to = args.pad_to or cfg.data.filtering.max_len
+    dataset = TrajectoryDataset(cfg.data, split="train", pad_to=pad_to)
+    n_dev = jax.device_count()
+    mesh = mesh_lib.make_mesh() if n_dev > 1 else None
+    global_batch = max(cfg.experiment.batch_size, n_dev)
+    sampler = EpochSampler(
+        n_items=len(dataset),
+        batch_size=global_batch,
+        seed=cfg.experiment.seed,
+        num_hosts=jax.process_count(),
+        host_index=jax.process_index(),
+    )
+    log.info(
+        "devices=%d hosts=%d global_batch=%d pad_to=%d",
+        n_dev, jax.process_count(), global_batch, pad_to,
+    )
+
+    sample_window = dataset.get_window(0, np.random.default_rng(0))
+    sample_window.pop("name", None)
+
+    def data_iter(epoch):
+        return batch_iterator(dataset, sampler, epoch)
+
+    exp = Experiment(cfg, data_iter, sample_window, mesh=mesh)
+    if cfg.experiment.warm_start:
+        exp.load_checkpoint(cfg.experiment.warm_start)
+        log.info("warm start from %s at step %d", cfg.experiment.warm_start, exp.step)
+
+    exp.train(max_steps=args.max_steps)
+    exp.save_checkpoint()
+
+
+if __name__ == "__main__":
+    main()

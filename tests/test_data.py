@@ -1,0 +1,109 @@
+import os
+
+import numpy as np
+import pytest
+
+from dynamicpdb_tpu.config import DataConfig, FilteringConfig
+from dynamicpdb_tpu.data.dataset import (
+    EpochSampler,
+    TrajectoryDataset,
+    batch_iterator,
+    eval_windows,
+    pad_window,
+)
+from dynamicpdb_tpu.data.synthetic import make_trajectory_npz, make_window
+
+
+@pytest.fixture(scope="module")
+def csv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    rows = ["name,atlas_npz,seq_len"]
+    for i, n_res in enumerate([12, 16, 300]):
+        p = d / f"prot{i}.npz"
+        make_trajectory_npz(p, n_res=n_res, n_frames=20, seed=i)
+        rows.append(f"prot{i},{p},{n_res}")
+    csv = d / "manifest.csv"
+    csv.write_text("\n".join(rows) + "\n")
+    return str(csv)
+
+
+def _cfg(csv, **kw):
+    return DataConfig(
+        csv_path=csv, val_csv_path=csv, test_csv_path=csv,
+        frame_time=2, frame_sample_step=3, keep_first=None,
+        fix_sample_start=5, **kw,
+    )
+
+
+def test_length_filter(csv_dir):
+    ds = TrajectoryDataset(_cfg(csv_dir), split="train")
+    assert len(ds) == 2  # 300-residue protein filtered at max_len=256
+
+
+def test_window_shapes_and_stride(csv_dir):
+    ds = TrajectoryDataset(_cfg(csv_dir), split="train")
+    w = ds.get_window(0, np.random.default_rng(0))
+    assert w["atom37"].shape == (2, 12, 37, 3)
+    assert w["force"].shape == (2, 12, 3)
+    assert w["edge_repr"].shape == (12, 12, 128)
+    assert w["aatype"].dtype == np.int32
+
+
+def test_eval_window_fixed_start(csv_dir):
+    ds = TrajectoryDataset(_cfg(csv_dir), split="val")
+    w1 = ds.get_window(0, np.random.default_rng(0))
+    w2 = ds.get_window(0, np.random.default_rng(99))
+    np.testing.assert_array_equal(w1["atom37"], w2["atom37"])
+
+
+def test_train_window_random_start(csv_dir):
+    ds = TrajectoryDataset(_cfg(csv_dir), split="train")
+    starts = set()
+    for s in range(20):
+        w = ds.get_window(0, np.random.default_rng(s))
+        starts.add(float(w["atom37"][0].sum()))
+    assert len(starts) > 3
+
+
+def test_padding(csv_dir):
+    ds = TrajectoryDataset(_cfg(csv_dir), split="train", pad_to=32)
+    w0 = ds.get_window(0, np.random.default_rng(0))  # 12 res
+    w1 = ds.get_window(1, np.random.default_rng(0))  # 16 res
+    for w, n in ((w0, 12), (w1, 16)):
+        assert w["atom37"].shape == (2, 32, 37, 3)
+        assert w["edge_repr"].shape == (32, 32, 128)
+        # padded residues masked out
+        assert w["atom37_mask"][n:].sum() == 0
+
+
+def test_epoch_sampler_determinism_and_striding():
+    s0 = EpochSampler(n_items=5, batch_size=3, seed=7, num_hosts=2, host_index=0)
+    s1 = EpochSampler(n_items=5, batch_size=3, seed=7, num_hosts=2, host_index=1)
+    a0, a1 = s0.epoch_indices(2), s1.epoch_indices(2)
+    # same epoch -> reproducible
+    np.testing.assert_array_equal(a0, s0.epoch_indices(2))
+    # different epochs shuffle differently
+    assert not np.array_equal(a0, s0.epoch_indices(3))
+    # hosts see disjoint interleaved strides of one global sequence
+    assert len(a0) == len(a1)
+    full = np.empty(len(a0) + len(a1), dtype=a0.dtype)
+    full[0::2], full[1::2] = a0, a1
+    counts = np.bincount(full, minlength=5)
+    assert counts.min() >= 3  # every item repeated ~batch_size times
+
+
+def test_batch_iterator(csv_dir):
+    ds = TrajectoryDataset(_cfg(csv_dir), split="train", pad_to=16)
+    sampler = EpochSampler(n_items=len(ds), batch_size=2, seed=0)
+    batches = list(batch_iterator(ds, sampler, epoch=0))
+    assert len(batches) == 2
+    for b in batches:
+        assert b["atom37"].shape == (2, 2, 16, 37, 3)
+        assert "name" not in b
+
+
+def test_eval_windows(csv_dir):
+    ds = TrajectoryDataset(_cfg(csv_dir), split="test")
+    ws = list(eval_windows(ds))
+    assert len(ws) == 2
+    assert ws[0]["name"] == "prot0"

@@ -1,0 +1,47 @@
+"""Data-parallel training over a virtual 8-device CPU mesh."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamicpdb_tpu.data.synthetic import make_window
+from dynamicpdb_tpu.parallel import mesh as mesh_lib
+from dynamicpdb_tpu.train.experiment import Trainer
+from tests.test_train import TINY_CFG
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_data_parallel_train_step_matches_single_device():
+    window = make_window(n_res=8, frame_time=2, seed=0)
+    key = jax.random.PRNGKey(0)
+
+    # single-device: batch of 8 identical windows
+    tr1 = Trainer(TINY_CFG)
+    params, opt_state = tr1.init_params(key, window)
+    batch = jax.tree_util.tree_map(lambda x: jnp.asarray(np.stack([x] * 8)), window)
+    p1, _, aux1 = tr1.compiled_train_step()(params, opt_state, key, batch)
+
+    # 8-device data parallel on the same batch
+    mesh = mesh_lib.make_mesh((8,), ("data",))
+    tr8 = Trainer(TINY_CFG, mesh=mesh)
+    params8, opt_state8 = tr8.init_params(key, window)
+    sharded = mesh_lib.shard_batch(mesh, batch)
+    p8, _, aux8 = tr8.compiled_train_step()(params8, opt_state8, key, sharded)
+
+    # same data + same key => identical loss and identical updated params
+    np.testing.assert_allclose(
+        float(aux1["total_loss"]), float(aux8["total_loss"]), rtol=1e-5
+    )
+    l1 = jax.tree_util.tree_leaves(p1)
+    l8 = jax.tree_util.tree_leaves(p8)
+    for a, b in zip(l1, l8):
+        # float32 all-reduce order differs from the single-device reduction
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
