@@ -1,0 +1,91 @@
+import numpy as np
+import pytest
+
+from dynamicpdb_tpu.analysis.pdb_io import read_pdb, write_pdb
+from dynamicpdb_tpu.chem import constants as chem
+from dynamicpdb_tpu.data.synthetic import make_window
+from dynamicpdb_tpu.preprocess import pbc
+from dynamicpdb_tpu.preprocess.embeddings import validate, zero_embeddings
+from dynamicpdb_tpu.preprocess.pack import (
+    atom37_from_full_atoms,
+    pack_trajectory,
+    select_ca_rows,
+)
+
+RNG = np.random.default_rng(0)
+
+
+def test_unwrap_trajectory_fixes_box_jump():
+    box = 50.0
+    traj = np.cumsum(RNG.normal(0, 0.1, size=(20, 5, 3)), axis=0) + 25.0
+    wrapped = np.mod(traj + 40.0, box)  # force crossings
+    un = pbc.unwrap_trajectory(wrapped, box)
+    # consecutive mean displacements should all be small after unwrap
+    deltas = np.abs(np.diff(un, axis=0).mean(axis=1))
+    assert deltas.max() < box / 2
+
+
+def test_unwrap_per_atom_recovers_continuous_path():
+    box = 30.0
+    true = np.cumsum(RNG.normal(0, 0.5, size=(50, 8, 3)), axis=0)
+    wrapped = np.mod(true, box)
+    un = pbc.unwrap_per_atom(wrapped, box)
+    # unwrapped path differs from true only by a constant offset per atom
+    diff = un - true
+    np.testing.assert_allclose(
+        diff, np.broadcast_to(diff[0:1], diff.shape), atol=1e-8
+    )
+
+
+def test_pdb_roundtrip(tmp_path):
+    w = make_window(n_res=8, frame_time=1, seed=3)
+    path = str(tmp_path / "test.pdb")
+    write_pdb(path, w["atom37"][0], w["aatype"], w["atom37_mask"])
+    atom37, mask, aatype, residx = read_pdb(path)
+    np.testing.assert_array_equal(aatype, w["aatype"])
+    np.testing.assert_array_equal(mask, w["atom37_mask"])
+    np.testing.assert_allclose(atom37, w["atom37"][0], atol=2e-3)  # %.3f PDB
+
+
+def test_pack_trajectory_bundle(tmp_path):
+    w = make_window(n_res=6, frame_time=1, seed=4)
+    pdb_path = str(tmp_path / "topo.pdb")
+    write_pdb(pdb_path, w["atom37"][0], w["aatype"], w["atom37_mask"])
+
+    # build a fake full-atom trajectory in PDB atom order
+    names, resseq, coords = [], [], []
+    for i in range(6):
+        for a in range(37):
+            if w["atom37_mask"][i, a]:
+                names.append(chem.ATOM37_NAMES[a])
+                resseq.append(i + 1)
+                coords.append(w["atom37"][0, i, a])
+    full = np.tile(np.asarray(coords)[None], (4, 1, 1))
+    forces = RNG.normal(size=full.shape)
+
+    out = str(tmp_path / "bundle.npz")
+    pack_trajectory(
+        out, pdb_path, full, names, np.asarray(resseq), forces=forces
+    )
+    with np.load(out) as z:
+        assert z["all_atom_positions"].shape == (4, 6, 37, 3)
+        np.testing.assert_allclose(
+            z["all_atom_positions"][0], w["atom37"][0], atol=2e-3
+        )
+        assert z["force"].shape == (4, 6, 3)
+        # C-alpha rows extracted from the full-atom array
+        ca_rows = select_ca_rows(forces, names)
+        np.testing.assert_allclose(z["force"], ca_rows, atol=1e-6)
+        assert np.argmax(z["aatype"], -1).tolist() == w["aatype"].tolist()
+
+
+def test_embedding_validation(tmp_path):
+    good = tmp_path / "good.npz"
+    np.savez(good, **zero_embeddings(10))
+    assert validate(str(good))["n_res"] == 10
+    assert validate(str(good), n_res=10)
+
+    bad = tmp_path / "bad.npz"
+    np.savez(bad, node_repr=np.zeros((10, 64)), edge_repr=np.zeros((10, 10, 128)))
+    with pytest.raises(ValueError):
+        validate(str(bad))
