@@ -64,6 +64,10 @@ class IPAConfig:
     coordinate_scaling: float = 1.0  # run_train.sh:24 (yaml default 0.1)
     temporal: bool = False  # run_train.sh:23
     temporal_position_max_len: int = 40
+    # fused Pallas flash-IPA (ops/pallas/ipa_attention.py); pays off for
+    # long sequences (N >= ~512) where O(N^2) HBM traffic dominates
+    use_pallas_attention: bool = False
+    pallas_interpret: bool = False  # interpreter mode (CPU testing)
 
 
 @dataclass(frozen=True)

@@ -54,13 +54,9 @@ class InvariantPointAttention(nn.Module):
         kv_pts = r[..., None].apply(kv_pts).reshape(F, N, H, Pq + Pv, 3)
         k_pts, v_pts = kv_pts[..., :Pq, :], kv_pts[..., Pq:, :]
 
-        # attention logits -------------------------------------------------
-        b = Linear(H, "torch", name="linear_b")(z)  # [N, N, H] frame-shared
-        a = jnp.einsum("fihc,fjhc->fhij", q, k) * math.sqrt(1.0 / (3 * C))
-        a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (2, 0, 1))[None]
-
-        pt_disp = q_pts[:, :, None] - k_pts[:, None]  # [F, N, N, H, Pq, 3]
-        pt_att = jnp.sum(pt_disp**2, axis=-1)  # [F, N, N, H, Pq]
+        # pair projections (frame-shared) ----------------------------------
+        b = Linear(H, "torch", name="linear_b")(z)  # [N, N, H]
+        pair_z = Linear(c.c_z // 4, "torch", name="down_z")(z)  # [N, N, cz/4]
         head_weights = nn.softplus(
             self.param(
                 "head_weights",
@@ -68,25 +64,48 @@ class InvariantPointAttention(nn.Module):
                 (H,),
             )
         ) * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
-        pt_att = jnp.sum(pt_att * head_weights[None, None, None, :, None], -1)
-        a = a + (-0.5) * jnp.transpose(pt_att, (0, 3, 1, 2))
+        c_qk = math.sqrt(1.0 / (3 * C))
 
-        square_mask = self.inf * (mask[:, :, None] * mask[:, None, :] - 1.0)
-        a = a + square_mask[:, None]
-        a = nn.softmax(a, axis=-1)  # [F, H, N, N]
+        if c.use_pallas_attention:
+            from dynamicpdb_tpu.ops.pallas.ipa_attention import (
+                fused_ipa_attention,
+            )
 
-        # outputs ----------------------------------------------------------
-        o = jnp.einsum("fhij,fjhc->fihc", a, v).reshape(F, N, H * C)
+            o, o_pt_global, o_pair = fused_ipa_attention(
+                q, k, v, q_pts, k_pts, v_pts, b, pair_z, mask, head_weights,
+                c_qk=c_qk, inf=self.inf, interpret=c.pallas_interpret,
+            )
+            o = o.reshape(F, N, H * C)
+            o_pair = o_pair.reshape(F, N, -1)
+        else:
+            # attention logits; point-distance term decomposed for the MXU:
+            #   sum_p |qp_i - kp_j|^2 = |qp_i|^2 + |kp_j|^2 - 2 qp_i . kp_j
+            # (the torch reference materializes [F, N, N, H, Pq, 3] in HBM;
+            # the cross term here is one [N, N] matmul per (f, h))
+            a = jnp.einsum("fihc,fjhc->fhij", q, k) * c_qk
+            a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (2, 0, 1))[None]
+            qp_sq = jnp.sum(q_pts**2, axis=(-1, -2))  # [F, N, H]
+            kp_sq = jnp.sum(k_pts**2, axis=(-1, -2))  # [F, N, H]
+            cross = jnp.einsum("fihpx,fjhpx->fhij", q_pts, k_pts)
+            pt_att = (
+                qp_sq.transpose(0, 2, 1)[..., :, None]
+                + kp_sq.transpose(0, 2, 1)[..., None, :]
+                - 2 * cross
+            )  # [F, H, N, N]
+            a = a + (-0.5) * head_weights[None, :, None, None] * pt_att
 
-        o_pt = jnp.einsum("fhij,fjhpx->fihpx", a, v_pts)  # global frame
-        o_pt_global = o_pt  # DFOLD extra: keep the non-inverted copy
-        o_pt_local = r[..., None, None].invert_apply(o_pt)
+            square_mask = self.inf * (mask[:, :, None] * mask[:, None, :] - 1.0)
+            a = a + square_mask[:, None]
+            a = nn.softmax(a, axis=-1)  # [F, H, N, N]
 
+            o = jnp.einsum("fhij,fjhc->fihc", a, v).reshape(F, N, H * C)
+            o_pt_global = jnp.einsum("fhij,fjhpx->fihpx", a, v_pts)
+            o_pair = jnp.einsum("fhij,ijd->fihd", a, pair_z).reshape(F, N, -1)
+
+        # DFOLD extra: keep the non-inverted (global-frame) point outputs
+        o_pt_local = r[..., None, None].invert_apply(o_pt_global)
         o_pt_norm = jnp.sqrt(jnp.sum(o_pt_local**2, -1) + self.eps)
         o_pt_global_norm = jnp.sqrt(jnp.sum(o_pt_global**2, -1) + self.eps)
-
-        pair_z = Linear(c.c_z // 4, "torch", name="down_z")(z)  # [N, N, cz/4]
-        o_pair = jnp.einsum("fhij,ijd->fihd", a, pair_z).reshape(F, N, -1)
 
         # feature order mirrors the reference concat
         # (o, o_pt xyz-unbound, |o_pt|, o_pair, o_pt_global xyz, |o_pt_global|)
