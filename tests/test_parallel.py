@@ -45,3 +45,34 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_tensor_parallel_sharding_matches_dp():
+    """DP+TP (4x2 mesh, model-sharded params) must reproduce the DP loss."""
+    from dynamicpdb_tpu.parallel import sharding as sharding_lib
+
+    window = make_window(n_res=8, frame_time=2, seed=0)
+    key = jax.random.PRNGKey(0)
+
+    tr = Trainer(TINY_CFG)
+    params, opt_state = tr.init_params(key, window)
+    batch8 = jax.tree_util.tree_map(lambda x: jnp.asarray(np.stack([x] * 8)), window)
+    _, _, aux_dp = jax.jit(tr.train_step)(params, opt_state, key, batch8)
+
+    mesh = mesh_lib.make_mesh((4, 2), ("data", "model"))
+    tr2 = Trainer(TINY_CFG, mesh=mesh)
+    p2, o2 = tr2.init_params(key, window)
+    p2 = sharding_lib.shard_params(p2, mesh)
+    o2 = jax.tree_util.tree_map(
+        lambda v, s: jax.device_put(v, s), o2,
+        sharding_lib.tree_shardings(o2, mesh),
+    )
+    batch4 = jax.tree_util.tree_map(lambda x: jnp.asarray(np.stack([x] * 4)), window)
+    batch4 = mesh_lib.shard_batch(mesh, batch4)
+    _, _, aux_tp = jax.jit(tr2.train_step)(p2, o2, key, batch4)
+
+    # same windows (identical copies) => same mean loss regardless of layout
+    np.testing.assert_allclose(
+        float(aux_dp["total_loss"]), float(aux_tp["total_loss"]), rtol=2e-4
+    )
