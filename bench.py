@@ -56,9 +56,12 @@ def main():
 
     # --- train-step throughput -------------------------------------------
     step = trainer.compiled_train_step()
-    batch = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], window)
+    batch = jax.device_put(
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], window)
+    )
     t0 = time.time()
-    params, opt_state, aux = step(params, opt_state, key, batch)
+    for _ in range(2):  # compile + settle
+        params, opt_state, aux = step(params, opt_state, key, batch)
     jax.block_until_ready(aux)
     compile_s = time.time() - t0
     print(f"train step compile+first: {compile_s:.1f}s", file=sys.stderr)

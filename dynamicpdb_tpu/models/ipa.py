@@ -60,7 +60,9 @@ class InvariantPointAttention(nn.Module):
         head_weights = nn.softplus(
             self.param(
                 "head_weights",
-                lambda key, shape: jnp.full(shape, 0.541324854612918),
+                # explicit dtype: a weak-typed param would flip to strong
+                # after the first optimizer step and force jit retraces
+                lambda key, shape: jnp.full(shape, 0.541324854612918, jnp.float32),
                 (H,),
             )
         ) * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))

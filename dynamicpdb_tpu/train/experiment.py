@@ -48,6 +48,12 @@ class Trainer:
         feats = featurize_window(jax.tree_util.tree_map(jnp.asarray, sample_window))
         feats = diffuse_training_window(key, feats, self.diffuser, self.cfg.data.min_t)
         params = self.model.init(key, feats)
+        # strip weak types: otherwise step outputs get different avals than
+        # the init-time inputs and the first 2-3 train steps each re-trace
+        # the whole graph (tens of seconds for the flagship model)
+        params = jax.tree_util.tree_map(
+            lambda x: jax.lax.convert_element_type(x, x.dtype), params
+        )
         opt_state = self.optimizer.init(params)
         return params, opt_state
 
