@@ -69,13 +69,12 @@ class InvariantPointAttention(nn.Module):
         c_qk = math.sqrt(1.0 / (3 * C))
 
         if c.use_pallas_attention:
-            from dynamicpdb_tpu.ops.pallas.ipa_attention import (
-                fused_ipa_attention,
-            )
+            from dynamicpdb_tpu.ops.pallas.ipa_attention import ipa_attention
 
-            o, o_pt_global, o_pair = fused_ipa_attention(
+            o, o_pt_global, o_pair = ipa_attention(
                 q, k, v, q_pts, k_pts, v_pts, b, pair_z, mask, head_weights,
-                c_qk=c_qk, inf=self.inf, interpret=c.pallas_interpret,
+                c_qk, math.sqrt(1.0 / 3), self.inf, 64, 128,
+                c.pallas_interpret,
             )
             o = o.reshape(F, N, H * C)
             o_pair = o_pair.reshape(F, N, -1)

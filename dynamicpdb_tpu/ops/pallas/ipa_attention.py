@@ -45,9 +45,9 @@ def _ipa_attn_kernel(
     vp_ref,       # [1, 1, blk_k, P3v]
     bias_ref,     # [1, blk_q, blk_k]
     pairz_ref,    # [blk_q, blk_k, Dz]
-    qmask_ref,    # [1, 1, blk_q]
-    mask_ref,     # [1, 1, blk_k]
-    hw_ref,       # [1, 1] (SMEM scalar per head)
+    qmask_ref,    # [1, blk_q, 1]
+    mask_ref,     # [1, blk_k, 1]
+    hw_ref,       # [H, 1] (full array in SMEM; indexed by head program id)
     o_ref,        # [1, 1, blk_q, C]
     opt_ref,      # [1, 1, blk_q, P3v]
     opair_ref,    # [1, 1, blk_q, Dz]
@@ -76,7 +76,7 @@ def _ipa_attn_kernel(
     k = k_ref[0, 0]
     qp = qp_ref[0, 0]
     kp = kp_ref[0, 0]
-    hw = hw_ref[0, 0]
+    hw = hw_ref[pl.program_id(1), 0]
 
     logits = c_qk * jnp.dot(q, k.T, preferred_element_type=jnp.float32)
     logits += c_b * bias_ref[0]
@@ -86,7 +86,7 @@ def _ipa_attn_kernel(
     logits += (-0.5) * hw * (qp_sq + kp_sq[None, :] - 2.0 * cross)
     # reference square-mask semantics: inf * (mask_i * mask_j - 1)
     logits += inf * (
-        qmask_ref[0, 0][:, None] * mask_ref[0, 0][None, :] - 1.0
+        qmask_ref[0, :, :] * mask_ref[0, :, 0][None, :] - 1.0
     )
 
     m_prev = m_scr[:]
@@ -103,8 +103,11 @@ def _ipa_attn_kernel(
     accpt_scr[:] = accpt_scr[:] * alpha + jnp.dot(
         p, vp_ref[0, 0], preferred_element_type=jnp.float32
     )
-    accpair_scr[:] = accpair_scr[:] * alpha + jnp.einsum(
-        "qk,qkd->qd", p, pairz_ref[:], preferred_element_type=jnp.float32
+    # per-row contraction o_pair[q, d] = sum_k p[q, k] * pz[q, k, d]: not a
+    # matmul (contraction is per-query-row), so reduce on the VPU —
+    # Mosaic cannot lower the equivalent batched dot_general
+    accpair_scr[:] = accpair_scr[:] * alpha + jnp.sum(
+        p[:, :, None] * pairz_ref[:], axis=1
     )
 
     @pl.when(kb == num_kb - 1)
@@ -127,7 +130,7 @@ def fused_ipa_attention(
     c_qk: float,
     c_b: float = math.sqrt(1.0 / 3),
     inf: float = 1e5,
-    blk_q: int = 128,
+    blk_q: int = 64,
     blk_k: int = 128,
     interpret: bool = False,
 ):
@@ -146,7 +149,7 @@ def fused_ipa_attention(
     qpf, kpf, vpf = fh(q_pts), fh(k_pts), fh(v_pts)
     bias_f = jnp.transpose(bias, (2, 0, 1)).astype(jnp.float32)  # [H, N, N]
     hw = head_weights.reshape(H, 1).astype(jnp.float32)
-    maskf = mask.reshape(F, 1, N).astype(jnp.float32)
+    maskf = mask.reshape(F, N, 1).astype(jnp.float32)
 
     grid = (F, H, N // blk_q, N // blk_k)
     kernel = functools.partial(_ipa_attn_kernel, c_qk=c_qk, c_b=c_b, inf=inf)
@@ -167,11 +170,9 @@ def fused_ipa_attention(
             pl.BlockSpec((1, 1, blk_k, Pv * 3), lambda f, h, i, j: (f, h, j, 0)),
             pl.BlockSpec((1, blk_q, blk_k), lambda f, h, i, j: (h, i, j)),
             pl.BlockSpec((blk_q, blk_k, Dz), lambda f, h, i, j: (i, j, 0)),
-            pl.BlockSpec((1, 1, blk_q), lambda f, h, i, j: (f, 0, i)),
-            pl.BlockSpec((1, 1, blk_k), lambda f, h, i, j: (f, 0, j)),
-            pl.BlockSpec(
-                (1, 1), lambda f, h, i, j: (h, 0), memory_space=pltpu.SMEM
-            ),
+            pl.BlockSpec((1, blk_q, 1), lambda f, h, i, j: (f, i, 0)),
+            pl.BlockSpec((1, blk_k, 1), lambda f, h, i, j: (f, j, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full [H, 1] scalars
         ],
         out_specs=(
             pl.BlockSpec((1, 1, blk_q, C), lambda f, h, i, j: (f, h, i, 0)),
@@ -197,3 +198,67 @@ def fused_ipa_attention(
         unfh(o_pt, (Pv, 3)),
         unfh(o_pair, (Dz,)),
     )
+
+
+# ---------------------------------------------------------------------------
+# differentiable wrapper: kernel forward, dense-math backward
+# ---------------------------------------------------------------------------
+def _dense_reference(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
+                     head_weights, c_qk, c_b, inf):
+    """Straight-line jnp computation with identical semantics (used for the
+    VJP; XLA's attention backward is efficient and this avoids hand-writing
+    the multi-stream flash backward)."""
+    a = jnp.einsum("fihc,fjhc->fhij", q, k) * c_qk
+    a = a + c_b * jnp.transpose(bias, (2, 0, 1))[None]
+    qp_sq = jnp.sum(q_pts**2, axis=(-1, -2))
+    kp_sq = jnp.sum(k_pts**2, axis=(-1, -2))
+    cross = jnp.einsum("fihpx,fjhpx->fhij", q_pts, k_pts)
+    pt = (
+        qp_sq.transpose(0, 2, 1)[..., :, None]
+        + kp_sq.transpose(0, 2, 1)[..., None, :]
+        - 2 * cross
+    )
+    a = a + (-0.5) * head_weights[None, :, None, None] * pt
+    a = a + inf * (mask[:, :, None] * mask[:, None, :] - 1.0)[:, None]
+    a = jax.nn.softmax(a, axis=-1)
+    return (
+        jnp.einsum("fhij,fjhc->fihc", a, v),
+        jnp.einsum("fhij,fjhpx->fihpx", a, v_pts),
+        jnp.einsum("fhij,ijd->fihd", a, pair_z),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+def ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
+                  head_weights, c_qk, c_b=math.sqrt(1.0 / 3), inf=1e5,
+                  blk_q=64, blk_k=128, interpret=False):
+    """Differentiable fused IPA attention: Pallas kernel on the forward pass,
+    dense-recompute VJP on the backward (the flash forward is the inference
+    win; training pays one dense recompute, still cheaper than materializing
+    the reference's displacement tensors)."""
+    return fused_ipa_attention(
+        q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask, head_weights,
+        c_qk=c_qk, c_b=c_b, inf=inf, blk_q=blk_q, blk_k=blk_k,
+        interpret=interpret,
+    )
+
+
+def _ipa_attention_fwd(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
+                       head_weights, c_qk, c_b, inf, blk_q, blk_k, interpret):
+    out = fused_ipa_attention(
+        q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask, head_weights,
+        c_qk=c_qk, c_b=c_b, inf=inf, blk_q=blk_q, blk_k=blk_k,
+        interpret=interpret,
+    )
+    return out, (q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask, head_weights)
+
+
+def _ipa_attention_bwd(c_qk, c_b, inf, blk_q, blk_k, interpret, res, g):
+    primals = res
+    _, vjp = jax.vjp(
+        lambda *args: _dense_reference(*args, c_qk, c_b, inf), *primals
+    )
+    return vjp(g)
+
+
+ipa_attention.defvjp(_ipa_attention_fwd, _ipa_attention_bwd)

@@ -45,9 +45,17 @@ class Trainer:
 
     # -- setup ----------------------------------------------------------------
     def init_params(self, key, sample_window: dict):
-        feats = featurize_window(jax.tree_util.tree_map(jnp.asarray, sample_window))
-        feats = diffuse_training_window(key, feats, self.diffuser, self.cfg.data.min_t)
-        params = self.model.init(key, feats)
+        # jit the init chain: eager execution would dispatch thousands of
+        # tiny ops one-by-one (pathological over remote-device transports)
+        @jax.jit
+        def _init(key, window):
+            feats = featurize_window(window)
+            feats = diffuse_training_window(
+                key, feats, self.diffuser, self.cfg.data.min_t
+            )
+            return self.model.init(key, feats)
+
+        params = _init(key, jax.tree_util.tree_map(jnp.asarray, sample_window))
         # strip weak types: otherwise step outputs get different avals than
         # the init-time inputs and the first 2-3 train steps each re-trace
         # the whole graph (tens of seconds for the flagship model)
@@ -59,10 +67,31 @@ class Trainer:
 
     # -- the step -------------------------------------------------------------
     def _window_loss(self, params, key, raw_window):
+        k_diff, k_sc = jax.random.split(key)
         feats = featurize_window(raw_window)
         feats = diffuse_training_window(
-            key, feats, self.diffuser, self.cfg.data.min_t
+            k_diff, feats, self.diffuser, self.cfg.data.min_t
         )
+        if self.cfg.model.embed.embed_self_conditioning:
+            # strict behavioral parity with the reference (train:1205-1207):
+            # 50% of steps run an extra no-grad forward whose predicted CA
+            # positions become sc_ca_t. With the DFOLDv2 embedder this
+            # feature is never consumed (SURVEY §4 known defect), so the
+            # flag defaults off; enabling it reproduces the reference's
+            # compute pattern exactly.
+            feats["sc_ca_t"] = jnp.zeros_like(feats["rigids_0"][..., 4:])
+
+            def with_sc(f):
+                sc = score_forward(
+                    self.model, jax.lax.stop_gradient(params),
+                    self.diffuser, f,
+                )
+                return dict(f, sc_ca_t=jax.lax.stop_gradient(sc["rigids"][..., 4:]))
+
+            feats = jax.lax.cond(
+                jax.random.uniform(k_sc) > 0.5, with_sc, lambda f: dict(f),
+                feats,
+            )
         out = score_forward(self.model, params, self.diffuser, feats)
         return dfold_loss(out, feats, self.cfg.experiment)
 
