@@ -19,8 +19,8 @@ import time
 N_RES = 256
 FRAME_TIME = 2
 NUM_T = 10
-TRAIN_STEPS = 8
-ROLLOUT_FRAMES = 4
+TRAIN_STEPS = 16
+ROLLOUT_FRAMES = 16
 
 
 def main():
