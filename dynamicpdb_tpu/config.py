@@ -77,6 +77,9 @@ class ModelConfig:
     node_repr_dim: int = 256  # OmegaFold node_repr channel
     edge_repr_dim: int = 128  # OmegaFold edge_repr channel
     dropout: float = 0.0
+    # "float32" | "bfloat16": computation dtype for the embedders/ConvNet/
+    # angle head (params + geometry + IPA logits stay float32)
+    compute_dtype: str = "float32"
     cfg_drop_rate: float = 0.0
     cfg_gamma: float = 2.0
     embed: EmbedConfig = field(default_factory=EmbedConfig)

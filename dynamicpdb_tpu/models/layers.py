@@ -45,29 +45,34 @@ INITS = {
 }
 
 
-def Linear(features: int, init: str = "default", use_bias: bool = True, name=None):
-    """Dense layer with AF2-style init selection; bias always zero-init."""
+def Linear(features: int, init: str = "default", use_bias: bool = True,
+           name=None, dtype=None):
+    """Dense layer with AF2-style init selection; bias always zero-init.
+    ``dtype`` is the computation dtype (params stay float32)."""
     return nn.Dense(
         features,
         use_bias=use_bias,
         kernel_init=INITS[init],
         bias_init=zeros,
         name=name,
+        dtype=dtype,
     )
 
 
 class GlobalStatNorm(nn.Module):
     """(x - mean) / sqrt(var + 1e-4) with mean/var over ALL elements,
-    unbiased variance — exact MyLayerNorm semantics."""
+    unbiased variance — exact MyLayerNorm semantics. Statistics always in
+    float32 (stable under bf16 activations)."""
 
     eps: float = 1e-4
 
     @nn.compact
     def __call__(self, x):
-        mean = jnp.mean(x)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32)
         n = x.size
-        var = jnp.sum((x - mean) ** 2) / jnp.maximum(n - 1, 1)
-        return (x - mean) / jnp.sqrt(var + self.eps)
+        var = jnp.sum((x32 - mean) ** 2) / jnp.maximum(n - 1, 1)
+        return ((x32 - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
 
 
 class MLPEmbedder(nn.Module):
@@ -75,12 +80,13 @@ class MLPEmbedder(nn.Module):
     (the force/vel/index/rigid/angle embedders, ipa_pytorch_dynamic.py:757-796)."""
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        x = Linear(self.features, "torch")(x)
+        x = Linear(self.features, "torch", dtype=self.dtype)(x)
         x = nn.silu(x)
-        x = Linear(self.features, "torch")(x)
+        x = Linear(self.features, "torch", dtype=self.dtype)(x)
         x = GlobalStatNorm()(x)
         return nn.silu(x)
 
@@ -92,16 +98,17 @@ class ConvNet(nn.Module):
     """
 
     dim: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
         h = x[None]  # [1, F, N, C] (NHWC)
         for _ in range(4):
             r = nn.Conv(self.dim // 2, (5, 5), padding="SAME",
-                        kernel_init=torch_default_init)(h)
+                        kernel_init=torch_default_init, dtype=self.dtype)(h)
             r = nn.relu(r)
             r = nn.Conv(self.dim, (5, 5), padding="SAME",
-                        kernel_init=torch_default_init)(r)
+                        kernel_init=torch_default_init, dtype=self.dtype)(r)
             r = nn.relu(r)
             h = h + r
         return h[0]
@@ -160,13 +167,14 @@ class BackboneUpdate(nn.Module):
 
 class AngleResnetBlock(nn.Module):
     c_hidden: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, a):
         s = nn.relu(a)
-        s = Linear(self.c_hidden, "relu")(s)
+        s = Linear(self.c_hidden, "relu", dtype=self.dtype)(s)
         s = nn.relu(s)
-        s = Linear(self.c_hidden, "final")(s)
+        s = Linear(self.c_hidden, "final", dtype=self.dtype)(s)
         return a + s
 
 
@@ -178,15 +186,16 @@ class AngleResnet(nn.Module):
     no_blocks: int = 2
     no_angles: int = 7
     eps: float = 1e-12
+    dtype: object = None
 
     @nn.compact
     def __call__(self, s, s_initial):
-        s_initial = Linear(self.c_hidden)(nn.relu(s_initial))
-        s = Linear(self.c_hidden)(nn.relu(s))
+        s_initial = Linear(self.c_hidden, dtype=self.dtype)(nn.relu(s_initial))
+        s = Linear(self.c_hidden, dtype=self.dtype)(nn.relu(s))
         s = s + s_initial
         for _ in range(self.no_blocks):
-            s = AngleResnetBlock(self.c_hidden)(s)
-        s = Linear(self.no_angles * 2)(nn.relu(s))
+            s = AngleResnetBlock(self.c_hidden, dtype=self.dtype)(s)
+        s = Linear(self.no_angles * 2)(nn.relu(s)).astype(jnp.float32)
         s = s.reshape(s.shape[:-1] + (self.no_angles, 2))
         unnormalized = s
         norm = jnp.sqrt(jnp.clip(jnp.sum(s**2, -1, keepdims=True), self.eps))

@@ -70,6 +70,10 @@ class DFoldScoreNetwork(nn.Module):
         cfg = self.cfg
         ipa_cfg = cfg.ipa
         D = cfg.node_embed_size
+        # mixed precision: heavy feature stacks (embedders, ConvNet, angle
+        # head) run in compute_dtype; geometry (rigids, scores, atoms) and
+        # IPA logits stay float32
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
 
         node_mask = feats["res_mask"].astype(jnp.float32)  # [F, N]
         diffuse_mask = (1 - feats["fixed_mask"].astype(jnp.float32)) * node_mask
@@ -89,20 +93,20 @@ class DFoldScoreNetwork(nn.Module):
         angle = angle * feats["torsion_angles_mask"][..., None].astype(jnp.float32)
         angle = _ref_cat(angle).reshape(F, N, -1)  # [F, N, 14]
 
-        force_embed = MLPEmbedder(D, name="force_embeder")(force)
-        vel_embed = MLPEmbedder(D, name="vel_embeder")(vel)
-        angle_embed = MLPEmbedder(D, name="angle_embeder")(angle)
+        force_embed = MLPEmbedder(D, dtype=dtype, name="force_embeder")(force)
+        vel_embed = MLPEmbedder(D, dtype=dtype, name="vel_embeder")(vel)
+        angle_embed = MLPEmbedder(D, dtype=dtype, name="angle_embeder")(angle)
 
         # node features: index embedding (frame-shared) + OmegaFold node repr
         seq_idx = feats["seq_idx"][0:1, :, None].astype(jnp.float32)  # [1, N, 1]
-        node_embed = MLPEmbedder(D, name="index_embeder")(seq_idx)
+        node_embed = MLPEmbedder(D, dtype=dtype, name="index_embeder")(seq_idx)
         node_embed = jnp.broadcast_to(node_embed, (F, N, D))
         node_embed = node_embed + expand_node[None]
         node_embed = node_embed * node_mask[..., None]
         edge_embed = expand_edge
 
-        rigid_embeder = MLPEmbedder(D, name="rigid_embeder")
-        conv = ConvNet(ipa_cfg.c_s * 5, name="conv_0")
+        rigid_embeder = MLPEmbedder(D, dtype=dtype, name="rigid_embeder")
+        conv = ConvNet(ipa_cfg.c_s * 5, dtype=dtype, name="conv_0")
 
         init_node_feat = None
         rigid_update = None
@@ -119,7 +123,9 @@ class DFoldScoreNetwork(nn.Module):
                 [rigids_embed, ipa_out, force_embed, vel_embed, angle_embed],
                 axis=-1,
             )  # [F, N, 5*c_s]
-            node_feat = conv(node_feat)  # frame-time mixing
+            node_feat = conv(
+                node_feat.astype(dtype) if dtype else node_feat
+            ).astype(jnp.float32)  # frame-time mixing
 
             rigid_update = BackboneUpdate(name=f"bb_update_{b}")(node_feat)
             # never move the reference frames (ipa_pytorch_dynamic.py:869)
@@ -134,7 +140,7 @@ class DFoldScoreNetwork(nn.Module):
                 init_node_feat = node_feat
 
         unorm_angles, angles = AngleResnet(
-            ipa_cfg.c_s * 5, no_blocks=2, no_angles=7, eps=1e-12,
+            ipa_cfg.c_s * 5, no_blocks=2, no_angles=7, eps=1e-12, dtype=dtype,
             name="angle_resnet",
         )(node_feat, init_node_feat)
 

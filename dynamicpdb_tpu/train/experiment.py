@@ -136,10 +136,14 @@ class Experiment:
     """Epoch loop + logging + checkpointing around a Trainer."""
 
     def __init__(self, cfg: Config, data_iter_factory, sample_window: dict,
-                 mesh=None):
+                 mesh=None, eval_fn=None, eval_every: int = 0,
+                 metrics_writer=None):
         self.cfg = cfg
         self.trainer = Trainer(cfg, mesh=mesh)
         self.data_iter_factory = data_iter_factory  # epoch -> Iterator[raw batch]
+        self.eval_fn = eval_fn  # params -> dict of metrics (lower = better)
+        self.eval_every = eval_every  # epochs between evals (0 = off)
+        self.metrics_writer = metrics_writer
         self.key = jax.random.PRNGKey(cfg.experiment.seed)
         self.key, init_key = jax.random.split(self.key)
         self.params, self.opt_state = self.trainer.init_params(
@@ -147,8 +151,30 @@ class Experiment:
         )
         self.step = 0
         self.epoch = 0
+        # best-metric tracking (reference _init_best_eval, train:428-438)
+        self.best = {}
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
         log.info("model parameters: %.1fM", n_params / 1e6)
+
+    def _run_eval(self):
+        metrics = self.eval_fn(self.params)
+        if self.metrics_writer is not None:
+            self.metrics_writer.write(self.step, {f"eval/{k}": v for k, v in metrics.items()})
+        improved = []
+        for k, v in metrics.items():
+            if k not in self.best or v < self.best[k]:
+                self.best[k] = v
+                improved.append(k)
+        log.info(
+            "eval @ step %d: %s%s", self.step,
+            " ".join(f"{k}={v:.4f}" for k, v in metrics.items()),
+            f" (new best: {', '.join(improved)})" if improved else "",
+        )
+        if improved and self.cfg.experiment.ckpt_dir:
+            self.save_checkpoint(
+                f"{self.cfg.experiment.ckpt_dir}/best.ckpt"
+            )
+        return metrics
 
     def train(self, num_epochs: int | None = None, max_steps: int | None = None):
         cfg = self.cfg.experiment
@@ -182,12 +208,21 @@ class Experiment:
                         sps,
                     )
                     history.append({"step": self.step, **means, "steps_per_sec": sps})
+                    if self.metrics_writer is not None:
+                        self.metrics_writer.write(
+                            self.step, {**means, "steps_per_sec": sps}
+                        )
                     rolling = []
                     t_log = time.time()
                 if max_steps is not None and self.step >= max_steps:
                     self.epoch = epoch
                     return history
             self.epoch = epoch
+            if (
+                self.eval_fn is not None and self.eval_every
+                and epoch % self.eval_every == 0
+            ):
+                self._run_eval()
             if cfg.ckpt_dir and epoch and epoch % cfg.ckpt_freq == 0:
                 self.save_checkpoint()
         return history

@@ -13,6 +13,7 @@ devices from one process (multi-host: one process per host, same command).
 from __future__ import annotations
 
 import argparse
+import os
 import logging
 import sys
 
@@ -75,7 +76,36 @@ def main(argv=None):
     def data_iter(epoch):
         return batch_iterator(dataset, sampler, epoch)
 
-    exp = Experiment(cfg, data_iter, sample_window, mesh=mesh)
+    eval_fn = None
+    if args.eval_every:
+        from dynamicpdb_tpu.data.dataset import eval_windows
+        from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Diffuser
+        from dynamicpdb_tpu.sampling.evaluate import evaluate
+
+        val_dataset = TrajectoryDataset(cfg.data, split="val", pad_to=pad_to)
+        eval_key = jax.random.PRNGKey(cfg.experiment.seed + 1)
+
+        def eval_fn(params, _val=val_dataset):
+            _, means = evaluate(
+                exp.trainer.model, params, exp.trainer.diffuser,
+                eval_windows(_val), key=eval_key,
+                num_t=cfg.data.num_t, min_t=cfg.data.min_t,
+                noise_scale=cfg.experiment.noise_scale,
+            )
+            return {
+                k: means[k]
+                for k in ("ave_rot", "ave_trans", "all_atom_mae", "all_atom_rmsd")
+            }
+
+    from dynamicpdb_tpu.utils.logging import MetricsWriter
+
+    writer = MetricsWriter(
+        os.path.join(cfg.experiment.eval_dir, "logs"), use_tensorboard=True
+    )
+    exp = Experiment(
+        cfg, data_iter, sample_window, mesh=mesh,
+        eval_fn=eval_fn, eval_every=args.eval_every, metrics_writer=writer,
+    )
     if cfg.experiment.warm_start:
         exp.load_checkpoint(cfg.experiment.warm_start)
         log.info("warm start from %s at step %d", cfg.experiment.warm_start, exp.step)

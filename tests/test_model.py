@@ -134,3 +134,22 @@ def test_masked_residues_do_not_leak(setup):
         np.asarray(out1["rigids"][:, :4]), np.asarray(out2["rigids"][:, :4]),
         atol=1e-4,
     )
+
+
+def test_bfloat16_compute_dtype(setup):
+    """bf16 mixed precision: geometry outputs stay float32 and close to the
+    f32 path; atoms finite."""
+    import dataclasses
+
+    _, diffuser, feats, model, params = setup
+    mbf = DFoldScoreNetwork(
+        dataclasses.replace(TINY_MODEL, compute_dtype="bfloat16")
+    )
+    out32 = model.apply(params, feats)
+    outbf = mbf.apply(params, feats)
+    assert outbf["rigids"].dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(outbf["rigids"]), np.asarray(out32["rigids"]), atol=0.05
+    )
+    for v in jax.tree_util.tree_leaves(outbf):
+        assert bool(jnp.all(jnp.isfinite(v.astype(jnp.float32))))
