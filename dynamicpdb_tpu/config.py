@@ -92,6 +92,7 @@ class ExperimentConfig:
     seed: int = 0
     batch_size: int = 1  # windows per device step (frames ride inside)
     learning_rate: float = 1e-4
+    grad_clip_norm: float | None = None  # reference has clip(1.0) commented out
     num_epoch: int = 500000
     log_freq: int = 32
     ckpt_freq: int = 400  # epochs between checkpoints (run_train.sh:10)

@@ -85,13 +85,22 @@ class DFoldScoreNetwork(nn.Module):
             feats["edge_repr"]
         )  # [N, N, c_z], frame-shared
 
-        # conditioning inputs with the prediction slot seeded from frame F-2
+        # conditioning inputs with the prediction slot seeded from frame F-2.
+        # drop_ref implements WORKING classifier-free guidance: the reference
+        # accepts-but-ignores drop_ref (ipa_pytorch_dynamic.py:798, SURVEY §4
+        # known defect) so its CFG mixes two identical passes; here drop=1
+        # replaces the reference-frame conditioning (rigids/forces/vels/
+        # angles) with the unconditional identity. Accepts python bools or
+        # traced 0/1 floats (for per-step random drops under jit).
+        keep = 1.0 - jnp.asarray(drop_ref, jnp.float32)
         curr_rigids = _ref_cat(feats["rigids_0"].astype(jnp.float32))
-        force = _ref_cat(feats["force"].astype(jnp.float32))
-        vel = _ref_cat(feats["vel"].astype(jnp.float32))
+        identity7 = jnp.zeros_like(curr_rigids).at[..., 0].set(1.0)
+        curr_rigids = keep * curr_rigids + (1 - keep) * identity7
+        force = _ref_cat(feats["force"].astype(jnp.float32)) * keep
+        vel = _ref_cat(feats["vel"].astype(jnp.float32)) * keep
         angle = feats["torsion_angles_sin_cos"].astype(jnp.float32)
         angle = angle * feats["torsion_angles_mask"][..., None].astype(jnp.float32)
-        angle = _ref_cat(angle).reshape(F, N, -1)  # [F, N, 14]
+        angle = _ref_cat(angle).reshape(F, N, -1) * keep  # [F, N, 14]
 
         force_embed = MLPEmbedder(D, dtype=dtype, name="force_embeder")(force)
         vel_embed = MLPEmbedder(D, dtype=dtype, name="vel_embeder")(vel)

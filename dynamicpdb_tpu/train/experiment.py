@@ -39,7 +39,12 @@ class Trainer:
         self.cfg = cfg
         self.model = DFoldScoreNetwork(cfg.model)
         self.diffuser = SE3Diffuser(cfg.diffuser)
-        self.optimizer = optax.amsgrad(cfg.experiment.learning_rate)
+        opt = optax.amsgrad(cfg.experiment.learning_rate)
+        if cfg.experiment.grad_clip_norm:
+            opt = optax.chain(
+                optax.clip_by_global_norm(cfg.experiment.grad_clip_norm), opt
+            )
+        self.optimizer = opt
         self.mesh = mesh
         self._train_step = None
 
@@ -72,6 +77,13 @@ class Trainer:
         feats = diffuse_training_window(
             k_diff, feats, self.diffuser, self.cfg.data.min_t
         )
+        drop_ref = False
+        if self.cfg.model.cfg_drop_rate > 0:
+            # per-window conditioning dropout for classifier-free guidance
+            key, k_drop = jax.random.split(key)
+            drop_ref = (
+                jax.random.uniform(k_drop) < self.cfg.model.cfg_drop_rate
+            ).astype(jnp.float32)
         if self.cfg.model.embed.embed_self_conditioning:
             # strict behavioral parity with the reference (train:1205-1207):
             # 50% of steps run an extra no-grad forward whose predicted CA
@@ -92,7 +104,9 @@ class Trainer:
                 jax.random.uniform(k_sc) > 0.5, with_sc, lambda f: dict(f),
                 feats,
             )
-        out = score_forward(self.model, params, self.diffuser, feats)
+        out = score_forward(
+            self.model, params, self.diffuser, feats, drop_ref=drop_ref
+        )
         return dfold_loss(out, feats, self.cfg.experiment)
 
     def loss_fn(self, params, key, raw_batch):

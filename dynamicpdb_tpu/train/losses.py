@@ -24,11 +24,16 @@ from dynamicpdb_tpu.config import ExperimentConfig
 
 def torsion_angle_loss(a, a_gt, a_alt_gt, mask, eps: float = 1e-8):
     """Per-frame AF2 torsion loss (openfold/utils/loss.py:52-76 variant with
-    masked normalization). a: [F, N, 7, 2]. Returns [F]."""
-    norm = jnp.linalg.norm(a, axis=-1)
+    masked normalization). a: [F, N, 7, 2]. Returns [F].
+
+    The squared distances are computed WITHOUT the intermediate norm: the
+    sqrt's gradient is NaN exactly at a == a_gt, which a converged/overfit
+    model reaches (torch.norm zeroes that subgradient; jnp.linalg.norm does
+    not). Same value, finite gradient everywhere."""
+    norm = jnp.sqrt(jnp.sum(a**2, axis=-1) + eps**2)
     a = a / (norm[..., None] + eps)
-    diff_gt = jnp.linalg.norm(a - a_gt, axis=-1) ** 2
-    diff_alt = jnp.linalg.norm(a - a_alt_gt, axis=-1) ** 2
+    diff_gt = jnp.sum((a - a_gt) ** 2, axis=-1)
+    diff_alt = jnp.sum((a - a_alt_gt) ** 2, axis=-1)
     min_diff = jnp.minimum(diff_gt, diff_alt)
     denom = jnp.sum(mask, axis=(-1, -2)) + 1e-2
     l_torsion = jnp.sum(min_diff * mask, axis=(-1, -2)) / denom

@@ -1,0 +1,47 @@
+"""End-to-end learning proof (BASELINE.json config 1 shape): overfit one
+synthetic trajectory window and beat the RefAsPred baseline on eval.
+CPU-runnable miniature of the TPU run (800 steps there drives ave_trans
+from 0.28 to 0.0002)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dynamicpdb_tpu.data.synthetic import make_window
+from dynamicpdb_tpu.sampling.evaluate import evaluate
+from dynamicpdb_tpu.train.experiment import Trainer
+from tests.test_train import TINY_CFG
+
+
+@pytest.mark.slow
+def test_single_window_overfit_beats_refaspred():
+    key = jax.random.PRNGKey(0)
+    w = make_window(n_res=8, frame_time=2, seed=0, wiggle=0.4)
+    tr = Trainer(TINY_CFG)
+    params, opt_state = tr.init_params(key, w)
+    step = tr.compiled_train_step()
+    batch = jax.device_put(
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], w)
+    )
+
+    def eval_now(params):
+        rows, _ = evaluate(
+            tr.model, params, tr.diffuser, [dict(w, name="synth")],
+            key=jax.random.PRNGKey(7), num_t=5, noise_scale=0.1,
+        )
+        return rows[0]
+
+    r0 = eval_now(params)
+    # zero-init network == RefAsPred baseline
+    np.testing.assert_allclose(r0["ave_trans"], r0["ref_ave_trans"], atol=1e-3)
+
+    for i in range(300):
+        key, sk = jax.random.split(key)
+        params, opt_state, aux = step(params, opt_state, sk, batch)
+    assert np.isfinite(float(aux["total_loss"]))
+    assert np.isfinite(float(aux["grad_norm"])), "NaN gradients during overfit"
+
+    r1 = eval_now(params)
+    # the memorized next frame must beat copying the previous frame
+    assert r1["ave_trans"] < 0.5 * r1["ref_ave_trans"], (r0, r1)
