@@ -198,10 +198,18 @@ class Experiment:
         rolling = []
         t_log = time.time()
         epochs = num_epochs if num_epochs is not None else cfg.num_epoch
+        from dynamicpdb_tpu.data.prefetch import prefetch_to_device
+
+        place = (
+            (lambda b: mesh_lib.shard_batch(mesh, b))
+            if mesh is not None
+            else jax.device_put
+        )
         for epoch in range(self.epoch, self.epoch + epochs):
-            for raw_batch in self.data_iter_factory(epoch):
-                if mesh is not None:
-                    raw_batch = mesh_lib.shard_batch(mesh, raw_batch)
+            batches = prefetch_to_device(
+                self.data_iter_factory(epoch), buffer_size=2, place=place
+            )
+            for raw_batch in batches:
                 self.key, step_key = jax.random.split(self.key)
                 self.params, self.opt_state, aux = step_fn(
                     self.params, self.opt_state, step_key, raw_batch

@@ -107,3 +107,29 @@ def test_eval_windows(csv_dir):
     ws = list(eval_windows(ds))
     assert len(ws) == 2
     assert ws[0]["name"] == "prot0"
+
+
+def test_device_prefetcher():
+    import jax
+    import jax.numpy as jnp
+
+    from dynamicpdb_tpu.data.prefetch import prefetch_to_device
+
+    src = ({"x": np.full((2, 2), i, np.float32)} for i in range(5))
+    out = list(prefetch_to_device(src, buffer_size=2))
+    assert len(out) == 5
+    assert isinstance(out[0]["x"], jax.Array)
+    np.testing.assert_allclose(np.asarray(out[3]["x"]), 3.0)
+
+
+def test_device_prefetcher_propagates_errors():
+    from dynamicpdb_tpu.data.prefetch import prefetch_to_device
+
+    def bad():
+        yield {"x": np.ones(2, np.float32)}
+        raise RuntimeError("loader exploded")
+
+    it = iter(prefetch_to_device(bad()))
+    next(it)
+    with pytest.raises(RuntimeError, match="loader exploded"):
+        list(it)
