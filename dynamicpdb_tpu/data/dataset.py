@@ -202,3 +202,55 @@ def eval_windows(dataset: TrajectoryDataset):
     for i in range(len(dataset)):
         rng = np.random.default_rng(i)
         yield dataset.get_window(i, rng)
+
+
+class StaticPdbDataset:
+    """Dataset over plain PDB files (no MD trajectory artifacts).
+
+    Covers the reference's legacy static-PDB path (src/data/pdb_data_loader.py
+    FrameDiff heritage) in a form the dynamic model accepts: each item is an
+    F-frame window holding F copies of the static structure, with zero
+    force/velocity channels and zero embeddings (or caller-provided embedding
+    npz per structure). Useful for debugging, geometry pretraining, and
+    datasets without dynamics.
+    """
+
+    def __init__(self, pdb_paths: list, *, frame_time: int = 2,
+                 pad_to: int | None = None, embed_paths: list | None = None):
+        self.pdb_paths = list(pdb_paths)
+        self.frame_time = frame_time
+        self.pad_to = pad_to
+        self.embed_paths = embed_paths
+
+    def __len__(self):
+        return len(self.pdb_paths)
+
+    def get_window(self, idx: int, rng=None) -> dict:
+        from dynamicpdb_tpu.analysis.pdb_io import read_pdb
+
+        atom37, mask, aatype, residue_index = read_pdb(self.pdb_paths[idx])
+        n = len(aatype)
+        F = self.frame_time
+        if self.embed_paths is not None:
+            with np.load(self.embed_paths[idx]) as z:
+                node_repr = np.asarray(z["node_repr"], np.float32)
+                edge_repr = np.asarray(z["edge_repr"], np.float32)
+        else:
+            node_repr = np.zeros((n, 256), np.float32)
+            edge_repr = np.zeros((n, n, 128), np.float32)
+        raw = {
+            "name": os.path.splitext(os.path.basename(self.pdb_paths[idx]))[0],
+            "atom37": np.repeat(atom37[None], F, axis=0),
+            "atom37_mask": mask,
+            "aatype": aatype,
+            "residue_index": residue_index,
+            "force": np.zeros((F, n, 3), np.float32),
+            "vel": np.zeros((F, n, 3), np.float32),
+            "node_repr": node_repr,
+            "edge_repr": edge_repr,
+        }
+        if self.pad_to:
+            name = raw.pop("name")
+            raw = pad_window(raw, self.pad_to)
+            raw["name"] = name
+        return raw

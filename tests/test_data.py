@@ -133,3 +133,28 @@ def test_device_prefetcher_propagates_errors():
     next(it)
     with pytest.raises(RuntimeError, match="loader exploded"):
         list(it)
+
+
+def test_static_pdb_dataset(tmp_path):
+    from dynamicpdb_tpu.analysis.pdb_io import write_pdb
+    from dynamicpdb_tpu.data.dataset import StaticPdbDataset
+    from dynamicpdb_tpu.data.synthetic import make_window
+
+    w = make_window(n_res=9, frame_time=1, seed=8)
+    p = str(tmp_path / "x.pdb")
+    write_pdb(p, w["atom37"][0], w["aatype"], w["atom37_mask"])
+    ds = StaticPdbDataset([p], frame_time=3, pad_to=12)
+    raw = ds.get_window(0)
+    assert raw["atom37"].shape == (3, 12, 37, 3)
+    assert raw["name"] == "x"
+    # static: all frames identical
+    np.testing.assert_array_equal(raw["atom37"][0], raw["atom37"][2])
+    # featurizes cleanly
+    import jax
+    import jax.numpy as jnp
+
+    from dynamicpdb_tpu.data.featurize import featurize_window
+
+    raw.pop("name")
+    feats = featurize_window(jax.tree_util.tree_map(jnp.asarray, raw))
+    assert feats["rigids_0"].shape == (3, 12, 7)
