@@ -80,6 +80,9 @@ class ModelConfig:
     # "float32" | "bfloat16": computation dtype for the embedders/ConvNet/
     # angle head (params + geometry + IPA logits stay float32)
     compute_dtype: str = "float32"
+    # rematerialize each trunk block on the backward pass (activation memory
+    # O(1) in num_blocks; needed for long sequences, N >= ~512)
+    remat: bool = False
     cfg_drop_rate: float = 0.0
     cfg_gamma: float = 2.0
     embed: EmbedConfig = field(default_factory=EmbedConfig)

@@ -121,12 +121,20 @@ class DFoldScoreNetwork(nn.Module):
         rigid_update = None
         for b in range(ipa_cfg.num_blocks):
             rigids_embed = rigid_embeder(curr_rigids)
-            ipa_out = InvariantPointAttention(ipa_cfg, name=f"ipa_{b}")(
-                node_embed,
-                edge_embed,
-                Rigid.from_tensor_7(curr_rigids),
-                node_mask,
-            )
+            ipa_block = InvariantPointAttention(ipa_cfg, name=f"ipa_{b}")
+            if cfg.remat:
+                # recompute the O(N^2) attention activations on the backward
+                # pass: memory O(1) in num_blocks for long sequences
+                ipa_apply = nn.remat(type(ipa_block).__call__)
+                ipa_out = ipa_apply(
+                    ipa_block, node_embed, edge_embed,
+                    Rigid.from_tensor_7(curr_rigids), node_mask,
+                )
+            else:
+                ipa_out = ipa_block(
+                    node_embed, edge_embed,
+                    Rigid.from_tensor_7(curr_rigids), node_mask,
+                )
             ipa_out = GlobalStatNorm()(ipa_out)
             node_feat = jnp.concatenate(
                 [rigids_embed, ipa_out, force_embed, vel_embed, angle_embed],

@@ -29,6 +29,9 @@ def main(argv=None):
     parser.add_argument("--max-steps", type=int, default=None)
     parser.add_argument("--eval-every", type=int, default=0,
                         help="epochs between eval passes (0 = off)")
+    parser.add_argument("--resume", action="store_true",
+                        help="auto-resume from the newest checkpoint in "
+                        "experiment.ckpt_dir (full optimizer state)")
     parser.add_argument("overrides", nargs="*", help="a.b=c config overrides")
     args = parser.parse_args(argv)
 
@@ -109,6 +112,22 @@ def main(argv=None):
     if cfg.experiment.warm_start:
         exp.load_checkpoint(cfg.experiment.warm_start)
         log.info("warm start from %s at step %d", cfg.experiment.warm_start, exp.step)
+    elif args.resume:
+        # preemption-safe auto-resume: newest step_*.ckpt in ckpt_dir
+        # (full state: params + optimizer + step/epoch; the reference's warm
+        # start restores weights only, train:468-499)
+        import glob
+        import re
+
+        ckpts = glob.glob(os.path.join(cfg.experiment.ckpt_dir, "step_*.ckpt"))
+        if ckpts:
+            latest = max(
+                ckpts,
+                key=lambda p: int(re.search(r"step_(\d+)", p).group(1)),
+            )
+            exp.load_checkpoint(latest)
+            log.info("auto-resumed from %s (step %d, epoch %d)",
+                     latest, exp.step, exp.epoch)
 
     exp.train(max_steps=args.max_steps)
     exp.save_checkpoint()
