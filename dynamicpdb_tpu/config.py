@@ -47,6 +47,10 @@ class EmbedConfig:
     # train_DFOLD_dynamics.py:1205-1207). Default off here; enabling it
     # reproduces the extra no-grad forward for strict behavioral parity.
     embed_self_conditioning: bool = False
+    # add a learned aatype embedding to the node features — lets the model
+    # train WITHOUT OmegaFold embeddings (the reference's only sequence
+    # identity signal is the OmegaFold node/edge reprs)
+    use_aatype_embedding: bool = False
     num_bins: int = 22
     min_bin: float = 1e-5
     max_bin: float = 20.0

@@ -111,6 +111,11 @@ class DFoldScoreNetwork(nn.Module):
         node_embed = MLPEmbedder(D, dtype=dtype, name="index_embeder")(seq_idx)
         node_embed = jnp.broadcast_to(node_embed, (F, N, D))
         node_embed = node_embed + expand_node[None]
+        if cfg.embed.use_aatype_embedding:
+            aatype_embed = nn.Embed(
+                21, D, name="aatype_embed",
+            )(feats["aatype"][0])  # [N, D], frame-shared
+            node_embed = node_embed + aatype_embed[None]
         node_embed = node_embed * node_mask[..., None]
         edge_embed = expand_edge
 

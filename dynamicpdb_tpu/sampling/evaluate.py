@@ -67,11 +67,25 @@ def evaluate(
         if save_dir is not None:
             import os
 
+            from dynamicpdb_tpu.analysis.pdb_io import write_pdb
+
             os.makedirs(save_dir, exist_ok=True)
             np.savez_compressed(
                 os.path.join(save_dir, f"{name}_pred.npz"),
                 rigids=np.asarray(out["rigids"]),
                 atom37=np.asarray(out["atom37"]),
+            )
+            # PDB artifacts like the reference eval dirs (train:778-806):
+            # predicted window (multi-model) + ground truth
+            aatype = np.asarray(raw_j["aatype"])
+            write_pdb(
+                os.path.join(save_dir, f"{name}.pdb"),
+                np.asarray(out["atom37"]), aatype,
+            )
+            write_pdb(
+                os.path.join(save_dir, f"{name}_gt.pdb"),
+                np.asarray(raw_j["atom37"]), aatype,
+                np.asarray(raw_j["atom37_mask"]),
             )
 
     means = {
