@@ -26,13 +26,12 @@ ROLLOUT_FRAMES = 16
 def main():
     import jax
     import jax.numpy as jnp
-    import numpy as np
-
+    
     from dynamicpdb_tpu.config import Config
     from dynamicpdb_tpu.data.featurize import eval_init_window, featurize_window
     from dynamicpdb_tpu.data.synthetic import make_window
     from dynamicpdb_tpu.diffusion.r3_diffuser import R3Config
-    from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Config, SE3Diffuser
+    from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Config
     from dynamicpdb_tpu.diffusion.so3_diffuser import SO3Config
     from dynamicpdb_tpu.sampling.reverse import rollout
     from dynamicpdb_tpu.train.experiment import Trainer

@@ -16,8 +16,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from dynamicpdb_tpu.analysis.metrics import kabsch_align
-
 CA_CA_IDEAL = 3.80209737096  # AF2 residue_constants.ca_ca
 C_N_IDEAL = 1.329  # peptide bond length (proline 1.341)
 CA_C_N_COS_IDEAL = -0.5203  # cos of ideal CA-C-N angle (~121.7 deg)

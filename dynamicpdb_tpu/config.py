@@ -12,9 +12,7 @@ import dataclasses
 from dataclasses import dataclass, field
 from typing import Any
 
-from dynamicpdb_tpu.diffusion.r3_diffuser import R3Config
 from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Config
-from dynamicpdb_tpu.diffusion.so3_diffuser import SO3Config
 
 
 @dataclass(frozen=True)

@@ -35,8 +35,6 @@ def main(argv=None):
 
     from dynamicpdb_tpu import config as config_lib
     from dynamicpdb_tpu.data.dataset import TrajectoryDataset, eval_windows
-    from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Diffuser
-    from dynamicpdb_tpu.models.score_network import DFoldScoreNetwork
     from dynamicpdb_tpu.sampling.evaluate import evaluate
     from dynamicpdb_tpu.train import checkpoint as ckpt_lib
     from dynamicpdb_tpu.train.experiment import Trainer

@@ -18,7 +18,6 @@ batch-statistics-dependent for parity.
 from __future__ import annotations
 
 import math
-from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

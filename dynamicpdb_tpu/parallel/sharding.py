@@ -11,7 +11,6 @@ identically (it is param-shaped), which also gives ZeRO-style memory scaling.
 from __future__ import annotations
 
 import jax
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

@@ -22,7 +22,6 @@ Step semantics preserved:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any
 
 import jax

@@ -9,11 +9,9 @@ job never leaves a truncated checkpoint.
 """
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 
-import jax
 from flax import serialization
 
 from dynamicpdb_tpu.config import to_dict

@@ -11,12 +11,8 @@ Replaces the reference Experiment class (train_DFOLD_dynamics.py:343-1568):
 """
 from __future__ import annotations
 
-import dataclasses
 import logging
 import time
-from functools import partial
-from typing import Iterator
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import os
 import logging
-import sys
 
 import jax
 import numpy as np
@@ -82,7 +81,6 @@ def main(argv=None):
     eval_fn = None
     if args.eval_every:
         from dynamicpdb_tpu.data.dataset import eval_windows
-        from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Diffuser
         from dynamicpdb_tpu.sampling.evaluate import evaluate
 
         val_dataset = TrajectoryDataset(cfg.data, split="val", pad_to=pad_to)

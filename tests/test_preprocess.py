@@ -6,11 +6,7 @@ from dynamicpdb_tpu.chem import constants as chem
 from dynamicpdb_tpu.data.synthetic import make_window
 from dynamicpdb_tpu.preprocess import pbc
 from dynamicpdb_tpu.preprocess.embeddings import validate, zero_embeddings
-from dynamicpdb_tpu.preprocess.pack import (
-    atom37_from_full_atoms,
-    pack_trajectory,
-    select_ca_rows,
-)
+from dynamicpdb_tpu.preprocess.pack import pack_trajectory, select_ca_rows
 
 RNG = np.random.default_rng(0)
 

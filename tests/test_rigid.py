@@ -1,6 +1,4 @@
 import numpy as np
-from scipy.spatial.transform import Rotation
-
 import jax
 import jax.numpy as jnp
 
