@@ -58,21 +58,23 @@ def main():
     params, opt_state = trainer.init_params(key, window)
     print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # --- train-step throughput -------------------------------------------
-    step = trainer.compiled_train_step()
+    # --- train-step throughput (scan-fused K steps per device call) -------
+    step = jax.jit(trainer.multi_train_step, donate_argnums=(0, 1))
     batch = jax.device_put(
-        jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], window)
+        jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(
+                jnp.asarray(x)[None, None], (TRAIN_STEPS, 1) + x.shape
+            ),
+            window,
+        )
     )
     t0 = time.time()
-    for _ in range(2):  # compile + settle
-        params, opt_state, aux = step(params, opt_state, key, batch)
+    params, opt_state, aux = step(params, opt_state, key, batch)
     jax.block_until_ready(aux)
     compile_s = time.time() - t0
     print(f"train step compile+first: {compile_s:.1f}s", file=sys.stderr)
     t0 = time.time()
-    for i in range(TRAIN_STEPS):
-        key, sk = jax.random.split(key)
-        params, opt_state, aux = step(params, opt_state, sk, batch)
+    params, opt_state, aux = step(params, opt_state, jax.random.fold_in(key, 1), batch)
     jax.block_until_ready(aux)
     train_sps = TRAIN_STEPS / (time.time() - t0)
     print(f"train steps/sec: {train_sps:.3f}", file=sys.stderr)

@@ -123,6 +123,26 @@ class Trainer:
         aux["grad_norm"] = optax.global_norm(grads)
         return params, opt_state, aux
 
+    def multi_train_step(self, params, opt_state, key, raw_batches):
+        """K fused optimizer steps in ONE device computation: lax.scan over
+        a [K, B, ...] batch stack. Amortizes per-call dispatch (important on
+        high-latency transports) and lets XLA overlap step boundaries."""
+        K = jax.tree_util.tree_leaves(raw_batches)[0].shape[0]
+        keys = jax.random.split(key, K)
+
+        def body(carry, xs):
+            params, opt_state = carry
+            k, batch = xs
+            params, opt_state, aux = self.train_step(params, opt_state, k, batch)
+            return (params, opt_state), aux
+
+        (params, opt_state), auxs = jax.lax.scan(
+            body, (params, opt_state), (keys, raw_batches)
+        )
+        return params, opt_state, jax.tree_util.tree_map(
+            lambda x: x[-1], auxs
+        )
+
     def compiled_train_step(self):
         """jit once; with a mesh, shard the batch over 'data' and let XLA
         place the gradient all-reduce on ICI."""
