@@ -27,11 +27,11 @@ def csv_dir(tmp_path_factory):
     return str(csv)
 
 
-def _cfg(csv, **kw):
+def _cfg(csv, frame_time=2, frame_sample_step=3, **kw):
     return DataConfig(
         csv_path=csv, val_csv_path=csv, test_csv_path=csv,
-        frame_time=2, frame_sample_step=3, keep_first=None,
-        fix_sample_start=5, **kw,
+        frame_time=frame_time, frame_sample_step=frame_sample_step,
+        keep_first=None, fix_sample_start=5, **kw,
     )
 
 
@@ -158,3 +158,52 @@ def test_static_pdb_dataset(tmp_path):
     raw.pop("name")
     feats = featurize_window(jax.tree_util.tree_map(jnp.asarray, raw))
     assert feats["rigids_0"].shape == (3, 12, 7)
+
+
+def test_reference_multifile_layout_interop(tmp_path):
+    """Artifacts written in the reference's on-disk layout ({pid}_new_w_pp.npz
+    + {pid}_F_Ca.pkl/_V_ca.pkl + embed npz, README.md:184-211) load through
+    TrajectoryDataset exactly like reference-produced data."""
+    from dynamicpdb_tpu.analysis.pdb_io import write_pdb
+    from dynamicpdb_tpu.chem import constants as chem
+    from dynamicpdb_tpu.data.dataset import TrajectoryDataset
+    from dynamicpdb_tpu.data.synthetic import make_window
+    from dynamicpdb_tpu.preprocess.embeddings import zero_embeddings
+    from dynamicpdb_tpu.preprocess.pack import pack_reference_layout
+
+    w = make_window(n_res=7, frame_time=1, seed=9)
+    topo = str(tmp_path / "topo.pdb")
+    write_pdb(topo, w["atom37"][0], w["aatype"], w["atom37_mask"])
+
+    names, resseq, coords = [], [], []
+    for i in range(7):
+        for a in range(37):
+            if w["atom37_mask"][i, a]:
+                names.append(chem.ATOM37_NAMES[a])
+                resseq.append(i + 1)
+                coords.append(w["atom37"][0, i, a])
+    full = np.tile(np.asarray(coords)[None], (6, 1, 1))
+    forces = np.random.default_rng(0).normal(size=full.shape)
+    vels = np.random.default_rng(1).normal(size=full.shape)
+
+    paths = pack_reference_layout(
+        str(tmp_path), "prot", topo, full, names, np.asarray(resseq),
+        forces=forces, velocities=vels,
+    )
+    embed = tmp_path / "prot_embed.npz"
+    np.savez(embed, **zero_embeddings(7))
+
+    csv = tmp_path / "m.csv"
+    csv.write_text(
+        "name,atlas_npz,force_path,vel_path,embed_path,seq_len\n"
+        f"prot,{paths['atlas_npz']},{paths['force_path']},"
+        f"{paths['vel_path']},{embed},7\n"
+    )
+    ds = TrajectoryDataset(
+        _cfg(str(csv), frame_time=2, frame_sample_step=1), split="train"
+    )
+    raw = ds.get_window(0, np.random.default_rng(0))
+    assert raw["atom37"].shape == (2, 7, 37, 3)
+    assert raw["force"].shape == (2, 7, 3)
+    assert raw["node_repr"].shape == (7, 256)
+    np.testing.assert_allclose(raw["atom37"][0], w["atom37"][0], atol=2e-3)
