@@ -1,0 +1,24 @@
+"""Weight-transfer parity vs the reference torch model (the strongest
+architecture-parity proof available without trained reference checkpoints:
+our random-init flax weights mapped into the reference FullScoreNetwork
+produce identical outputs on identical inputs)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference"), reason="reference not mounted"
+)
+def test_weight_transfer_parity_vs_reference():
+    proc = subprocess.run(
+        [sys.executable, os.path.join("tools", "parity_model.py")],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, (
+        f"parity harness failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    )
+    assert "PARITY: PASS" in proc.stdout
