@@ -143,3 +143,58 @@ def pack_reference_layout(
             pickle.dump(select_ca_rows(velocities, atom_names), f)
         paths["vel_path"] = p
     return paths
+
+
+def pack_from_dynamicpdb_release(
+    out_path: str,
+    pid_dir: str,
+    pid: str,
+    *,
+    node_repr=None,
+    edge_repr=None,
+    max_frames: int | None = None,
+):
+    """Pack a protein straight from the dynamicPDB release layout
+    (README.md:36-140): {pid}_T.pkl per-frame coordinates, {pid}_F.pkl
+    forces, {pid}_V.pkl velocities (all [F, A, 3] full-atom), plus the
+    topology {pid}.pdb. Writes the single-bundle training npz."""
+    import os
+    import pickle
+
+    def _load(name):
+        p = os.path.join(pid_dir, f"{pid}{name}")
+        if not os.path.exists(p):
+            return None
+        with open(p, "rb") as f:
+            arr = np.asarray(pickle.load(f))
+        return arr[:max_frames] if max_frames else arr
+
+    positions = _load("_T.pkl")
+    if positions is None:
+        raise FileNotFoundError(f"{pid}_T.pkl not found in {pid_dir}")
+    forces = _load("_F.pkl")
+    velocities = _load("_V.pkl")
+
+    topo = os.path.join(pid_dir, f"{pid}.pdb")
+    from dynamicpdb_tpu.analysis.pdb_io import read_pdb  # noqa: F401
+
+    # atom names/resseq from the topology PDB ATOM records, in file order
+    names, resseq = [], []
+    with open(topo) as f:
+        for line in f:
+            if line.startswith("ENDMDL"):
+                break
+            if line.startswith("ATOM"):
+                names.append(line[12:16].strip())
+                resseq.append(int(line[22:26]))
+    if positions.shape[1] != len(names):
+        raise ValueError(
+            f"{pid}: trajectory has {positions.shape[1]} atoms, topology "
+            f"{len(names)} — protein-only coordinates are expected "
+            "(strip solvent first)"
+        )
+    return pack_trajectory(
+        out_path, topo, positions, names, np.asarray(resseq),
+        forces=forces, velocities=velocities,
+        node_repr=node_repr, edge_repr=edge_repr,
+    )

@@ -85,3 +85,31 @@ def test_embedding_validation(tmp_path):
     np.savez(bad, node_repr=np.zeros((10, 64)), edge_repr=np.zeros((10, 10, 128)))
     with pytest.raises(ValueError):
         validate(str(bad))
+
+
+def test_pack_from_dynamicpdb_release_layout(tmp_path):
+    import pickle
+
+    from dynamicpdb_tpu.preprocess.pack import pack_from_dynamicpdb_release
+
+    w = make_window(n_res=5, frame_time=1, seed=11)
+    pid = "1abc_A"
+    write_pdb(str(tmp_path / f"{pid}.pdb"), w["atom37"][0], w["aatype"],
+              w["atom37_mask"])
+    names, coords = [], []
+    for i in range(5):
+        for a in range(37):
+            if w["atom37_mask"][i, a]:
+                names.append(chem.ATOM37_NAMES[a])
+                coords.append(w["atom37"][0, i, a])
+    traj = np.tile(np.asarray(coords)[None], (3, 1, 1))
+    for suffix, arr in (("_T.pkl", traj), ("_F.pkl", traj * 0.1),
+                        ("_V.pkl", traj * 0.2)):
+        with open(tmp_path / f"{pid}{suffix}", "wb") as f:
+            pickle.dump(arr, f)
+    out = pack_from_dynamicpdb_release(
+        str(tmp_path / "bundle.npz"), str(tmp_path), pid
+    )
+    with np.load(out) as z:
+        assert z["all_atom_positions"].shape == (3, 5, 37, 3)
+        assert z["force"].shape == (3, 5, 3)
