@@ -97,12 +97,16 @@ def main(argv=None):
             log.info("extension saved: %s", out)
         return
 
+    cfg_gamma = (
+        cfg.model.cfg_gamma if cfg.model.cfg_drop_rate > 0.01 else None
+    )
     rows, means = evaluate(
         trainer.model, params, trainer.diffuser, eval_windows(dataset),
         key=key,
         num_t=cfg.data.num_t,
         min_t=cfg.data.min_t,
         noise_scale=cfg.experiment.noise_scale,
+        cfg_gamma=cfg_gamma,
         save_dir=args.save_dir,
     )
     print("ave_rot:", means["ave_rot"])

@@ -28,11 +28,14 @@ def evaluate(
     num_t: int = 10,
     min_t: float = 0.01,
     noise_scale: float = 0.1,
+    cfg_gamma: float | None = None,
     save_dir: str | None = None,
 ):
     """Run eval over raw windows; returns per-protein metric rows + means.
 
     noise_scale defaults to the reference's eval setting (run_eval.sh:9).
+    cfg_gamma enables classifier-free guidance (reference gates it on
+    cfg_drop_rate > 0.01, train:1477-1484).
     """
 
     @jax.jit
@@ -43,6 +46,7 @@ def evaluate(
         out = reverse_sample(
             k_rev, module, params, diffuser, feats,
             num_t=num_t, min_t=min_t, noise_scale=noise_scale,
+            cfg_gamma=cfg_gamma,
         )
         metrics = eval_window_metrics(
             out["rigids"], out["atom37"], feats["rigids_0"],
