@@ -158,8 +158,6 @@ def pack_from_dynamicpdb_release(
     (README.md:36-140): {pid}_T.pkl per-frame coordinates, {pid}_F.pkl
     forces, {pid}_V.pkl velocities (all [F, A, 3] full-atom), plus the
     topology {pid}.pdb. Writes the single-bundle training npz."""
-    import os
-    import pickle
 
     def _load(name):
         p = os.path.join(pid_dir, f"{pid}{name}")
@@ -176,8 +174,6 @@ def pack_from_dynamicpdb_release(
     velocities = _load("_V.pkl")
 
     topo = os.path.join(pid_dir, f"{pid}.pdb")
-    from dynamicpdb_tpu.analysis.pdb_io import read_pdb  # noqa: F401
-
     # atom names/resseq from the topology PDB ATOM records, in file order
     names, resseq = [], []
     with open(topo) as f:
