@@ -129,3 +129,42 @@ def test_gated_attention_unit_parity():
     np.testing.assert_allclose(
         np.asarray(got_edge), ref_edge.numpy(), atol=3e-5
     )
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_omega_plm_parity():
+    """Full PLM stack (small dims): tokens -> node + per-layer edge maps."""
+    from omegafold import omegaplm
+
+    from dynamicpdb_tpu.models.omegafold.plm import omega_plm, params_from_torch
+
+    cfg = types.SimpleNamespace(
+        alphabet_size=23, node=32, padding_idx=21, edge=3,
+        proj_dim=48, attn_dim=16, num_relpos=129, masked_ratio=0.12,
+        num_head=1,
+    )
+    torch.manual_seed(3)
+    ref = omegaplm.OmegaPLM(cfg).eval()
+    fwd_cfg = types.SimpleNamespace(subbatch_size=None)
+
+    M, L = 4, 11
+    tokens = RNG.integers(0, 21, (M, L))
+    tokens[1, 3:6] = 21  # masked positions exercise token-dropout scaling
+    mask = np.ones((M, L), np.float32)
+    mask[2, 8:] = 0.0
+
+    with torch.no_grad():
+        ref_node, ref_edges = ref(
+            torch.tensor(tokens), torch.tensor(mask), fwd_cfg
+        )
+
+    params, pcfg = params_from_torch(ref)
+    node, edges = omega_plm(
+        params, pcfg, jnp.asarray(tokens), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(node), ref_node.numpy(), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(edges), ref_edges.numpy(), atol=5e-5
+    )
