@@ -1,0 +1,160 @@
+"""Torch-parity for the GeoFormer port (step 3)."""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dynamicpdb_tpu.models.omegafold import geoformer as G
+
+REF = "/root/reference/src/toolbox/OmegaFold"
+ref_available = os.path.isdir(REF)
+
+if ref_available:
+    for name in ["Bio", "Bio.PDB", "Bio.Data", "Bio.Data.SCOPData"]:
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["Bio"].PDB = sys.modules["Bio.PDB"]
+    sys.modules["Bio"].Data = sys.modules["Bio.Data"]
+    sys.modules["Bio.Data"].SCOPData = sys.modules["Bio.Data.SCOPData"]
+    sys.modules["Bio.Data.SCOPData"].protein_letters_3to1 = {}
+    sys.path.insert(0, REF)
+    import torch
+
+RNG = np.random.default_rng(1)
+
+
+def _sane_init(mod):
+    """Reference modules declare many params with torch.empty (values come
+    from the released checkpoint); fill with finite values for parity."""
+    with torch.no_grad():
+        for q in mod.parameters():
+            q.normal_(0, 0.3)
+    return mod
+FWD = None
+if ref_available:
+    FWD = types.SimpleNamespace(subbatch_size=None)
+
+D_NODE, D_EDGE, H, C = 24, 16, 2, 8
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_gated_attention_parity():
+    from omegafold import modules
+
+    torch.manual_seed(0)
+    mod = _sane_init(modules.Attention(
+        q_dim=D_NODE, kv_dim=D_NODE, n_head=H, gating=True, c=C,
+        out_dim=D_NODE, n_axis=1,
+    ))
+    x = RNG.normal(size=(5, 7, D_NODE)).astype(np.float32)
+    bias = RNG.normal(size=(H, 7, 7)).astype(np.float32)
+    with torch.no_grad():
+        ref = mod(torch.tensor(x), torch.tensor(x), torch.tensor(bias), fwd_cfg=FWD)
+    got = G.gated_attention(
+        G.attn_params_from_torch(mod), jnp.asarray(x), jnp.asarray(x),
+        jnp.asarray(bias), c=C, gating=True, n_axis=1, q_dim=D_NODE,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=3e-5)
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_attention_w_edge_bias_parity():
+    from omegafold import modules
+
+    torch.manual_seed(1)
+    mod = _sane_init(modules.AttentionWEdgeBias(
+        d_node=D_NODE, d_edge=D_EDGE, n_head=H, attn_gating=True, attn_c=C
+    ))
+    M, L = 3, 9
+    node = RNG.normal(size=(M, L, D_NODE)).astype(np.float32)
+    edge = RNG.normal(size=(L, L, D_EDGE)).astype(np.float32)
+    mask = np.ones((L,), np.float32)
+    mask[-2:] = 0
+    with torch.no_grad():
+        ref = mod(torch.tensor(node), torch.tensor(edge), torch.tensor(mask),
+                  fwd_cfg=FWD)
+    p = G.AttnWEdgeBiasParams(
+        proj_edge_w=jnp.asarray(mod.proj_edge_bias.weight.detach().numpy()).T,
+        proj_edge_b=jnp.asarray(mod.proj_edge_bias.bias.detach().numpy()),
+        attn=G.attn_params_from_torch(mod.attention),
+    )
+    got = G.attention_w_edge_bias(
+        p, jnp.asarray(node), jnp.asarray(edge), jnp.asarray(mask), c=C
+    )
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=3e-5)
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_transition_and_node2edge_parity():
+    from omegafold import modules
+
+    torch.manual_seed(2)
+    trans = modules.Transition(d=D_NODE, n=2, activation="ReLU")
+    x = RNG.normal(size=(4, 6, D_NODE)).astype(np.float32)
+    with torch.no_grad():
+        ref = trans(torch.tensor(x), subbatch_size=None)
+    got = G.transition(G.transition_params_from_torch(trans), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=3e-5)
+
+    n2e = _sane_init(modules.Node2Edge(in_dim=D_NODE, out_dim=D_EDGE, proj_dim=10))
+    M, L = 3, 6
+    node = RNG.normal(size=(M, L, D_NODE)).astype(np.float32)
+    mask = np.ones((M, L), np.float32)
+    mask[1, 4:] = 0
+    with torch.no_grad():
+        ref2 = n2e(torch.tensor(node), torch.tensor(mask))
+    got2 = G.node2edge(
+        G.node2edge_params_from_torch(n2e), jnp.asarray(node), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(np.asarray(got2), ref2.numpy(), atol=3e-5)
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_geometric_attention_parity():
+    from omegafold import modules
+
+    torch.manual_seed(3)
+    mod = _sane_init(modules.GeometricAttention(d_edge=D_EDGE, c=C, n_head=H, n_axis=2))
+    L = 7
+    edge = RNG.normal(size=(L, L, D_EDGE)).astype(np.float32)
+    mask = np.ones((L,), np.float32)
+    mask[-1] = 0
+    with torch.no_grad():
+        ref = mod(torch.tensor(edge), torch.tensor(mask), fwd_cfg=FWD)
+    got = G.geometric_attention(
+        G.geom_params_from_torch(mod), jnp.asarray(edge), jnp.asarray(mask),
+        c=C, n_head=H,
+    )
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=5e-5)
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_geoformer_block_parity():
+    from omegafold import geoformer as ref_geo
+
+    cfg = types.SimpleNamespace(
+        node_dim=D_NODE, edge_dim=D_EDGE, attn_n_head=H, gating=True,
+        attn_c=C, transition_multiplier=2, activation="ReLU",
+        opm_dim=10, geom_c=C, geom_head=H, geom_count=2,
+    )
+    torch.manual_seed(4)
+    block = _sane_init(ref_geo.GeoFormerBlock(cfg))
+    M, L = 2, 8
+    node = RNG.normal(size=(M, L, D_NODE)).astype(np.float32)
+    edge = RNG.normal(size=(L, L, D_EDGE)).astype(np.float32)
+    mask = np.ones((M, L), np.float32)
+    with torch.no_grad():
+        ref_node, ref_edge = block(
+            torch.tensor(node), torch.tensor(edge), torch.tensor(mask),
+            fwd_cfg=FWD,
+        )
+    p = G.block_params_from_torch(block)
+    got_node, got_edge = G.geoformer_block(
+        p, jnp.asarray(node), jnp.asarray(edge), jnp.asarray(mask),
+        attn_c=C, geom_c=C, geom_head=H,
+    )
+    np.testing.assert_allclose(np.asarray(got_node), ref_node.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_edge), ref_edge.numpy(), atol=1e-4)
