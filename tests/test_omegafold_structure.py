@@ -117,3 +117,49 @@ def test_confidence_head_parity():
         S.confidence_params_from_torch(mod), jnp.asarray(node)
     )
     np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-5)
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_edge_and_recycle_embedder_parity():
+    from omegafold import embedders as ref_emb
+
+    from dynamicpdb_tpu.models.omegafold import embedders as E
+
+    torch.manual_seed(8)
+    L, DE, DN = 9, D_EDGE, D_NODE
+    cfg = _ns(alphabet_size=21, edge_dim=DE, relpos_len=32, node_dim=DN,
+              prev_pos=_ns(first_break=3.25, last_break=20.75, num_bins=16,
+                           ignore_index=0))
+    ee = ref_emb.EdgeEmbedder(cfg)
+    fasta = RNG.integers(0, 20, (L,))
+    out = RNG.normal(size=(L, L, DE)).astype(np.float32)
+    with torch.no_grad():
+        ref = ee(torch.tensor(fasta), torch.tensor(out.copy()))
+    got = E.edge_embedder(
+        E.edge_embedder_from_torch(ee), jnp.asarray(fasta), jnp.asarray(out)
+    )
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=2e-6)
+
+    re = ref_emb.RecycleEmbedder(cfg)
+    M = 3
+    prev_node = RNG.normal(size=(L, DN)).astype(np.float32)
+    prev_edge = RNG.normal(size=(L, L, DE)).astype(np.float32)
+    prev_x = RNG.normal(size=(L, 14, 3)).astype(np.float32) * 4
+    node = RNG.normal(size=(M, L, DN)).astype(np.float32)
+    edge = RNG.normal(size=(L, L, DE)).astype(np.float32)
+    with torch.no_grad():
+        ref_n, ref_e = re(
+            fasta=torch.tensor(fasta),
+            prev_node=torch.tensor(prev_node),
+            prev_edge=torch.tensor(prev_edge),
+            prev_x=torch.tensor(prev_x),
+            node_repr=torch.tensor(node.copy()),
+            edge_repr=torch.tensor(edge.copy()),
+        )
+    got_n, got_e = E.recycle_embedder(
+        E.recycle_embedder_from_torch(re), jnp.asarray(fasta),
+        jnp.asarray(prev_node), jnp.asarray(prev_edge), jnp.asarray(prev_x),
+        jnp.asarray(node), jnp.asarray(edge),
+    )
+    np.testing.assert_allclose(np.asarray(got_n), ref_n.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got_e), ref_e.numpy(), atol=2e-5)
