@@ -24,15 +24,25 @@ def quaternion_distance_deg(q1, q2):
     return jnp.degrees(2 * jnp.arccos(dot))
 
 
-def average_quaternion_distances(q1, q2):
-    """[F, N, 4] x2 -> [F] mean geodesic degrees per frame."""
-    return jnp.mean(quaternion_distance_deg(q1, q2), axis=-1)
+def average_quaternion_distances(q1, q2, mask=None):
+    """[F, N, 4] x2 -> [F] mean geodesic degrees per frame.
+
+    ``mask`` ([..., N] or [N]) restricts the mean to real residues; the
+    reference never pads, so the masked mean equals its unmasked one
+    (rot_trans_error.py:63-73) on unpadded inputs."""
+    d = quaternion_distance_deg(q1, q2)
+    if mask is None:
+        return jnp.mean(d, axis=-1)
+    m = jnp.broadcast_to(mask, d.shape)
+    return jnp.sum(d * m, axis=-1) / (jnp.sum(m, axis=-1) + 1e-10)
 
 
-def average_translation_distances(t1, t2, measurement: str = "MAE"):
-    if measurement == "MSE":
-        return jnp.mean((t1 - t2) ** 2, axis=(-1, -2))
-    return jnp.mean(jnp.abs(t1 - t2), axis=(-1, -2))
+def average_translation_distances(t1, t2, measurement: str = "MAE", mask=None):
+    err = (t1 - t2) ** 2 if measurement == "MSE" else jnp.abs(t1 - t2)
+    if mask is None:
+        return jnp.mean(err, axis=(-1, -2))
+    m = jnp.broadcast_to(mask[..., None], err.shape)
+    return jnp.sum(err * m, axis=(-1, -2)) / (jnp.sum(m, axis=(-1, -2)) + 1e-10)
 
 
 def masked_atom_error(pred_atom37, gt_atom37, atom37_mask):
@@ -98,20 +108,26 @@ def drmsd(pred_ca, gt_ca, mask=None):
 
 
 def eval_window_metrics(pred_rigids, pred_atom37, gt_rigids, gt_atom37,
-                        atom37_mask):
+                        atom37_mask, res_mask=None):
     """The reference's per-protein eval summary (train:886-925): last-frame
     rotation/translation errors, all-atom MAE/MSE, superimposed RMSD, plus
-    RefAsPred baselines using frame F-2."""
+    RefAsPred baselines using frame F-2. ``res_mask`` ([N] or [F, N]) excludes
+    padded residues from the rigid-frame errors (the atom37 metrics are
+    already masked via atom37_mask, which is zero on padding)."""
+    if res_mask is None:
+        res_mask = atom37_mask[..., 1]  # CA present <=> real residue
     ave_rot = average_quaternion_distances(
-        gt_rigids[..., :4], pred_rigids[..., :4]
+        gt_rigids[..., :4], pred_rigids[..., :4], mask=res_mask
     )
     ave_trans = average_translation_distances(
-        gt_rigids[..., 4:], pred_rigids[..., 4:], "MAE"
+        gt_rigids[..., 4:], pred_rigids[..., 4:], "MAE", mask=res_mask
     )
     ref = jnp.broadcast_to(gt_rigids[-2][None], gt_rigids.shape)
-    ref_rot = average_quaternion_distances(gt_rigids[..., :4], ref[..., :4])
+    ref_rot = average_quaternion_distances(
+        gt_rigids[..., :4], ref[..., :4], mask=res_mask
+    )
     ref_trans = average_translation_distances(
-        gt_rigids[..., 4:], ref[..., 4:], "MAE"
+        gt_rigids[..., 4:], ref[..., 4:], "MAE", mask=res_mask
     )
     mae, mse = masked_atom_error(pred_atom37, gt_atom37, atom37_mask)
     ca_mask = atom37_mask[..., 1]

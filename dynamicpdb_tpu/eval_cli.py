@@ -52,12 +52,18 @@ def main(argv=None):
         payload = serialization.msgpack_restore(f.read())
     if payload.get("config"):
         saved = json.loads(payload["config"])
-        model_over = [
-            f"model.{k}={v}"
-            for k, v in saved.get("model", {}).items()
-            if not isinstance(v, dict)
-        ]
-        cfg = config_lib.apply_overrides(cfg, model_over)
+
+        def flatten(prefix, tree, out):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    flatten(f"{prefix}{k}.", v, out)
+                elif v is not None:
+                    out.append(f"{prefix}{k}={v}")
+            return out
+
+        cfg = config_lib.apply_overrides(
+            cfg, flatten("model.", saved.get("model", {}), [])
+        )
 
     dataset = TrajectoryDataset(
         cfg.data, split="test", pad_to=cfg.data.filtering.max_len

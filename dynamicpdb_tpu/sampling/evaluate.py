@@ -51,6 +51,7 @@ def evaluate(
         metrics = eval_window_metrics(
             out["rigids"], out["atom37"], feats["rigids_0"],
             feats["atom37_pos"], feats["atom37_mask"],
+            res_mask=feats["res_mask"],
         )
         return metrics, out
 

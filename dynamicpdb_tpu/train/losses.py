@@ -58,10 +58,16 @@ def dfold_loss(model_out, batch, conf: ExperimentConfig):
     torsion_loss = torsion_all[-1] * conf.torsion_loss_weight
 
     # translation x0 ------------------------------------------------------
+    # The reference takes an UNMASKED mean (train:1248) — but it never pads,
+    # so masking by loss_mask is a strict generalization: identical when
+    # every residue is real, and it keeps the effective trans weight
+    # independent of pad_to (see tests/test_losses.py pad-invariance).
     gt_trans_x0 = batch["rigids_0"][..., 4:]
     pred_trans_x0 = model_out["rigids"][..., 4:]
-    trans_loss = jnp.mean(
-        (gt_trans_x0[-1] - pred_trans_x0[-1]) ** 2
+    tmask = loss_mask[-1][..., None]
+    trans_loss = (
+        jnp.sum((gt_trans_x0[-1] - pred_trans_x0[-1]) ** 2 * tmask)
+        / (3.0 * jnp.sum(loss_mask[-1]) + 1e-10)
     ) * conf.trans_loss_weight
 
     # rotation score ------------------------------------------------------
