@@ -153,3 +153,47 @@ def test_bfloat16_compute_dtype(setup):
     )
     for v in jax.tree_util.tree_leaves(outbf):
         assert bool(jnp.all(jnp.isfinite(v.astype(jnp.float32))))
+
+
+def test_batch_vmap_equals_independent_windows(setup):
+    """B>1 semantics: our batch axis is vmap over INDEPENDENT windows, so a
+    B=2 batch must reproduce two B=1 forwards exactly.
+
+    Deliberate deviation from the reference at B>1 (documented in
+    COVERAGE.md): the reference flattens [B, F, ...] -> [B*F, ...]
+    (train:679-684) and then treats dim 0 as ONE frame window — its
+    MyLayerNorm couples statistics across windows (ipa_pytorch_dynamic.py:
+    709-724), rigid_update[:-1] *= 0 freezes every frame except the LAST
+    window's last frame (:869), and the trans loss covers only that global
+    last frame (train:1248). Those semantics are only coherent at per-device
+    B=1, which is exactly the reference's release config (global batch 4
+    over 4 GPUs). vmap is the faithful generalization.
+    """
+    w0, diffuser, _, model, params = setup
+    w1 = make_window(n_res=10, frame_time=3, seed=42)
+
+    def fwd(raw, key):
+        feats = featurize_window(jax.tree_util.tree_map(jnp.asarray, raw))
+        feats = diffuse_training_window(key, feats, diffuser, min_t=0.01)
+        return score_forward(model, params, diffuser, feats)
+
+    k0, k1 = jax.random.split(jax.random.PRNGKey(7))
+    solo = [fwd(w0, k0), fwd(w1, k1)]
+
+    batch = {
+        k: jnp.stack([jnp.asarray(w0[k]), jnp.asarray(w1[k])])
+        for k in w0
+    }
+
+    def window_fwd(raw, key):
+        feats = featurize_window(raw)
+        feats = diffuse_training_window(key, feats, diffuser, min_t=0.01)
+        return score_forward(model, params, diffuser, feats)
+
+    batched = jax.vmap(window_fwd)(batch, jnp.stack([k0, k1]))
+    for name in ("rigids", "rot_score", "trans_score", "atom37"):
+        for b in range(2):
+            np.testing.assert_allclose(
+                np.asarray(batched[name][b]), np.asarray(solo[b][name]),
+                atol=1e-5, err_msg=f"{name}[{b}]",
+            )
