@@ -8,7 +8,13 @@ reference's release config (256 residues padded, frame_time=2, num_t=10
 reverse steps — run_train.sh / BASELINE.md). vs_baseline is measured against
 the BASELINE.json north-star target of 20 frames/sec for 1000-frame rollouts
 (the reference publishes no quantitative numbers, BASELINE.md).
-Extra fields report train-step throughput (fwd+bwd+adam, batch of 1 window).
+
+Extra fields: train-step throughput (fwd+bwd+adam, batch of 1 window), both
+best-of-3 and median-of-3, plus MFU. MFU derivation (docs/DESIGN.md): FLOPs
+per optimizer step are XLA's own cost analysis of the compiled train-step
+executable (compiled.cost_analysis()['flops'] / K for the K-step scan), and
+peak FLOP/s comes from the device kind (bf16 peak: v5e 197 TF, v5p 459 TF,
+v4 275 TF).
 """
 from __future__ import annotations
 
@@ -22,12 +28,48 @@ NUM_T = 10
 TRAIN_STEPS = 16
 ROLLOUT_FRAMES = 16
 
+# bf16 peak FLOP/s per chip by device kind substring
+_PEAK_FLOPS = [
+    ("v5 lite", 197e12),
+    ("v5e", 197e12),
+    ("v5p", 459e12),
+    ("v5", 459e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 45e12),
+]
+
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _PEAK_FLOPS:
+        if sub in kind:
+            return peak
+    return None
+
+
+def _flops_of(compiled) -> float | None:
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost["flops"])
+    except Exception as e:  # cost analysis unavailable on some backends
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        return None
+
 
 def main():
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
-    
-    from dynamicpdb_tpu.config import Config
+
+    from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    from dynamicpdb_tpu.config import Config, ModelConfig
     from dynamicpdb_tpu.data.featurize import eval_init_window, featurize_window
     from dynamicpdb_tpu.data.synthetic import make_window
     from dynamicpdb_tpu.diffusion.r3_diffuser import R3Config
@@ -38,8 +80,6 @@ def main():
 
     dev = jax.devices()[0]
     print(f"bench device: {dev}", file=sys.stderr)
-
-    from dynamicpdb_tpu.config import ModelConfig
 
     cfg = Config(
         # production training mode: bf16 feature stacks (geometry stays f32)
@@ -57,10 +97,10 @@ def main():
     key = jax.random.PRNGKey(0)
     t0 = time.time()
     params, opt_state = trainer.init_params(key, window)
-    print(f"init: {time.time()-t0:.1f}s", file=sys.stderr)
+    init_s = time.time() - t0
+    print(f"init: {init_s:.1f}s", file=sys.stderr)
 
     # --- train-step throughput (scan-fused K steps per device call) -------
-    step = jax.jit(trainer.multi_train_step, donate_argnums=(0, 1))
     batch = jax.device_put(
         jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(
@@ -69,22 +109,41 @@ def main():
             window,
         )
     )
+    step = jax.jit(trainer.multi_train_step, donate_argnums=(0, 1))
     t0 = time.time()
-    params, opt_state, aux = step(params, opt_state, key, batch)
-    jax.block_until_ready(aux)
+    compiled = step.lower(params, opt_state, key, batch).compile()
     compile_s = time.time() - t0
-    print(f"train step compile+first: {compile_s:.1f}s", file=sys.stderr)
-    # best-of-3: the attached device is a shared/tunneled chip with large
-    # run-to-run contention variance; peak reflects device capability
-    train_sps = 0.0
+    print(f"train step compile: {compile_s:.1f}s", file=sys.stderr)
+    flops_per_step = _flops_of(compiled)
+    if flops_per_step is not None:
+        flops_per_step /= TRAIN_STEPS
+        print(f"FLOPs/step (XLA cost analysis): {flops_per_step:.3e}",
+              file=sys.stderr)
+
+    params, opt_state, aux = compiled(params, opt_state, key, batch)
+    jax.block_until_ready(aux)
+    # best + median of 3: the attached device is a shared/tunneled chip with
+    # run-to-run contention variance; peak reflects device capability,
+    # median reflects what a user actually gets
+    sps_runs = []
     for rep in range(3):
         t0 = time.time()
-        params, opt_state, aux = step(
+        params, opt_state, aux = compiled(
             params, opt_state, jax.random.fold_in(key, rep + 1), batch
         )
         jax.block_until_ready(aux)
-        train_sps = max(train_sps, TRAIN_STEPS / (time.time() - t0))
-    print(f"train steps/sec (best of 3): {train_sps:.3f}", file=sys.stderr)
+        sps_runs.append(TRAIN_STEPS / (time.time() - t0))
+    train_sps = max(sps_runs)
+    train_sps_med = float(np.median(sps_runs))
+    print(f"train steps/sec: best={train_sps:.3f} median={train_sps_med:.3f}",
+          file=sys.stderr)
+    peak = _peak_flops(dev)
+    mfu = (
+        round(flops_per_step * train_sps_med / peak, 4)
+        if flops_per_step and peak
+        else None
+    )
+    print(f"MFU (median): {mfu}", file=sys.stderr)
 
     # --- rollout throughput ----------------------------------------------
     diffuser = trainer.diffuser
@@ -101,14 +160,18 @@ def main():
     t0 = time.time()
     out = roll(params, jax.random.PRNGKey(2))
     jax.block_until_ready(out)
-    print(f"rollout compile+first: {time.time()-t0:.1f}s", file=sys.stderr)
-    fps = 0.0
+    roll_compile_s = time.time() - t0
+    print(f"rollout compile+first: {roll_compile_s:.1f}s", file=sys.stderr)
+    fps_runs = []
     for rep in range(3):
         t0 = time.time()
         out = roll(params, jax.random.PRNGKey(3 + rep))
         jax.block_until_ready(out)
-        fps = max(fps, ROLLOUT_FRAMES / (time.time() - t0))
-    print(f"rollout frames/sec (best of 3): {fps:.3f}", file=sys.stderr)
+        fps_runs.append(ROLLOUT_FRAMES / (time.time() - t0))
+    fps = max(fps_runs)
+    fps_med = float(np.median(fps_runs))
+    print(f"rollout frames/sec: best={fps:.3f} median={fps_med:.3f}",
+          file=sys.stderr)
 
     print(
         json.dumps(
@@ -117,7 +180,12 @@ def main():
                 "value": round(fps, 3),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 20.0, 3),
+                "rollout_fps_median": round(fps_med, 3),
                 "train_steps_per_sec_256res_bf16": round(train_sps, 3),
+                "train_steps_per_sec_median": round(train_sps_med, 3),
+                "train_flops_per_step": flops_per_step,
+                "mfu_median": mfu,
+                "compile_s": round(compile_s, 1),
                 "device": str(dev),
             }
         )

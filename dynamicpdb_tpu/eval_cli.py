@@ -31,6 +31,10 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("eval")
 
+    from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     import numpy as np
 
     from dynamicpdb_tpu import config as config_lib

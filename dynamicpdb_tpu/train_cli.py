@@ -40,6 +40,10 @@ def main(argv=None):
     )
     log = logging.getLogger("train")
 
+    from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from dynamicpdb_tpu.config import Config, apply_overrides, load_yaml
     from dynamicpdb_tpu.data.dataset import (
         EpochSampler,

@@ -17,3 +17,12 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+# Persistent compilation cache: the expensive tests are dominated by XLA
+# compiles of the fused train step; repeat runs hit the cache and finish in
+# seconds. Delete .cache/jax_tests to force fresh compiles.
+from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), ".cache", "jax_tests")
+)
