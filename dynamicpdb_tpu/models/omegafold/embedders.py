@@ -11,7 +11,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from dynamicpdb_tpu.chem import constants as chem
+from dynamicpdb_tpu.models.omegafold.atoms import tables as omegafold_tables
 from dynamicpdb_tpu.models.omegafold.core import relpos_embedding
 from dynamicpdb_tpu.models.omegafold.structure import _ln
 
@@ -42,9 +42,7 @@ class RecycleEmbedderParams(NamedTuple):
     ln_node: tuple  # (w, b)
     ln_edge: tuple
     prev_pos_embed: jnp.ndarray  # [num_bins, edge_dim]
-    first_break: float
-    last_break: float
-    num_bins: int
+    breaks: jnp.ndarray  # [num_bins - 1] distogram bin edges
 
 
 def create_pseudo_beta(atom14_pos, atom14_mask):
@@ -60,11 +58,12 @@ def recycle_embedder(p: RecycleEmbedderParams, fasta, prev_node, prev_edge,
     of the previous cycle's pseudo-beta coords + normed previous reprs are
     added into the fresh PLM-derived representations. node_repr [M, L, d]:
     only row 0 (the unmasked sequence) receives the node recycle."""
-    atom_mask = jnp.asarray(chem.restype_atom14_mask)[fasta]
+    # OmegaFold's own atom mask table (22 rows: the '-'/mask token maps to a
+    # zero row, unlike the 21-row AF2 table; residue_constants.py:417-423)
+    atom_mask = omegafold_tables()["restype2atom_mask"][fasta]
     beta = create_pseudo_beta(prev_x, atom_mask)
     d = jnp.linalg.norm(beta[:, None] - beta[None, :], axis=-1)
-    breaks = jnp.linspace(p.first_break, p.last_break, p.num_bins - 1)
-    bins = jnp.sum(d[..., None] > breaks, axis=-1)
+    bins = jnp.sum(d[..., None] > p.breaks, axis=-1)
     node_repr = node_repr.at[..., 0, :, :].add(_ln(prev_node, *p.ln_node))
     edge_repr = edge_repr + p.prev_pos_embed[bins]
     edge_repr = edge_repr + _ln(prev_edge, *p.ln_edge)
@@ -77,7 +76,9 @@ def recycle_embedder_from_torch(mod) -> RecycleEmbedderParams:
         ln_node=(t(mod.layernorm_node.weight), t(mod.layernorm_node.bias)),
         ln_edge=(t(mod.layernorm_edge.weight), t(mod.layernorm_edge.bias)),
         prev_pos_embed=t(mod.prev_pos_embed.weight),
-        first_break=float(mod.dgram.cfg.first_break),
-        last_break=float(mod.dgram.cfg.last_break),
-        num_bins=int(mod.dgram.cfg.num_bins),
+        breaks=jnp.linspace(
+            float(mod.dgram.cfg.first_break),
+            float(mod.dgram.cfg.last_break),
+            int(mod.dgram.cfg.num_bins) - 1,
+        ),
     )

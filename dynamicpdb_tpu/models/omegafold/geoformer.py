@@ -90,6 +90,10 @@ class AttnWEdgeBiasParams(NamedTuple):
 
 def attention_w_edge_bias(p: AttnWEdgeBiasParams, node, edge, mask, *,
                           c: int, gating: bool = True):
+    """node [M, L, d]; edge [L, L, de]; mask [M, L] — the FULL pseudo-MSA
+    mask: each row gets its own key masking (GeoFormerBlock.forward passes
+    the [M, L] mask straight through, geoformer.py:110-115; the bias
+    broadcast at modules.py:527-529 is [M, H, L, L])."""
     node = _normalize(node)
     edge = _normalize(edge)
     edge_bias = jnp.einsum("ijd,dh->hij", edge, p.proj_edge_w) + (
@@ -243,7 +247,7 @@ def geoformer_block(p: GeoFormerBlockParams, node, edge, mask, *,
                     attn_c: int, geom_c: int, geom_head: int):
     """node: [M, L, d_node]; edge: [L, L, d_edge]; mask: [M, L]."""
     node = node + attention_w_edge_bias(
-        p.attn_edge_bias, node, edge, mask[..., 0, :], c=attn_c
+        p.attn_edge_bias, node, edge, mask, c=attn_c
     )
     # column attention over the pseudo-MSA axis
     node_col = _normalize(jnp.swapaxes(node, -2, -3))
@@ -277,4 +281,46 @@ def block_params_from_torch(mod) -> GeoFormerBlockParams:
         out_product=node2edge_params_from_torch(mod.out_product),
         geom=tuple(geom_params_from_torch(g) for g in mod.geometric_attention),
         edge_transition=transition_params_from_torch(mod.edge_transition),
+    )
+
+
+# ---------------------------------------------------------------------------
+# full GeoFormer (geoformer.py:141-190): block stack + final node projection
+# ---------------------------------------------------------------------------
+class GeoFormerParams(NamedTuple):
+    blocks: GeoFormerBlockParams  # per-leaf leading [num_blocks] axis
+    final_proj_w: jnp.ndarray  # [node_dim, struct_node_dim]
+    final_proj_b: jnp.ndarray
+
+
+def geoformer(p: GeoFormerParams, node, edge, mask, *, attn_c: int,
+              geom_c: int, geom_head: int):
+    """node [M, L, d_node], edge [L, L, d_edge], mask [M, L].
+
+    Returns (node_repr [M, L, d_node], edge_repr, final_node [M, L, d_struct])
+    — matching GeoFormer.forward's (recycle node, recycle edge, structure
+    input). The 50-block stack runs under lax.scan over stacked per-block
+    params: one compiled block body instead of 50 unrolled copies.
+    """
+
+    def body(carry, bp):
+        n, e = geoformer_block(
+            bp, carry[0], carry[1], mask,
+            attn_c=attn_c, geom_c=geom_c, geom_head=geom_head,
+        )
+        return (n, e), None
+
+    (node, edge), _ = jax.lax.scan(body, (node, edge), p.blocks)
+    final = jnp.einsum("...d,de->...e", node, p.final_proj_w) + p.final_proj_b
+    return node, edge, final
+
+
+def geoformer_params_from_torch(mod) -> GeoFormerParams:
+    t = lambda x: jnp.asarray(x.detach().numpy())
+    blocks = [block_params_from_torch(b) for b in mod.blocks]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    return GeoFormerParams(
+        blocks=stacked,
+        final_proj_w=t(mod.node_final_proj.weight).T,
+        final_proj_b=t(mod.node_final_proj.bias),
     )

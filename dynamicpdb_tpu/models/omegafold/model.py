@@ -1,0 +1,351 @@
+"""Full OmegaFold orchestration in JAX (port step 8 of docs/OMEGAFOLD_PORT.md).
+
+Equivalent of OmegaFold / OmegaFoldCycle
+(/root/reference/src/toolbox/OmegaFold/omegafold/model.py:50-277): per
+recycling cycle — OmegaPLM over the pseudo-MSA, PLM-repr projections + edge
+embedder, recycle embedder (previous node/edge/coords), GeoFormer trunk,
+structure module + atom14 expansion, confidence head — keeping the cycle
+whose overall lDDT confidence is highest. The extractor's outputs are that
+cycle's (edge_repr [L, L, 128], node_repr [L, 256]), the npz contract
+consumed by the DFOLD data pipeline.
+
+One cycle is a single jitted function; the python loop over cycles reuses the
+compiled program (all cycles share shapes). Weights come either from the
+reference torch module (params_from_torch, tests) or from a released
+checkpoint state_dict (params_from_state_dict — no torch module
+instantiation needed, just the tensor dict).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from dynamicpdb_tpu.models.omegafold import atoms
+from dynamicpdb_tpu.models.omegafold.embedders import (
+    EdgeEmbedderParams,
+    RecycleEmbedderParams,
+    edge_embedder,
+    edge_embedder_from_torch,
+    recycle_embedder,
+    recycle_embedder_from_torch,
+)
+from dynamicpdb_tpu.models.omegafold.geoformer import (
+    GeoFormerParams,
+    geoformer,
+    geoformer_params_from_torch,
+)
+from dynamicpdb_tpu.models.omegafold.plm import (
+    PLMConfig,
+    PLMParams,
+    omega_plm,
+)
+from dynamicpdb_tpu.models.omegafold.plm import (
+    params_from_torch as plm_params_from_torch,
+)
+from dynamicpdb_tpu.models.omegafold.structure import (
+    ConfidenceParams,
+    LinearParams,
+    StructureParams,
+    confidence_head,
+    confidence_params_from_torch,
+    linear_from_torch,
+    structure_module,
+    structure_params_from_torch,
+)
+
+
+class OmegaFoldConfig(NamedTuple):
+    plm: PLMConfig = PLMConfig()
+    node_dim: int = 256
+    edge_dim: int = 128
+    attn_c: int = 32
+    geom_c: int = 32
+    geom_head: int = 4
+    struct_num_head: int = 12
+    struct_num_scalar_qk: int = 16
+    struct_num_point_qk: int = 4
+
+    @property
+    def struct_ipa_dims(self) -> dict:
+        return dict(
+            num_head=self.struct_num_head,
+            num_scalar_qk=self.struct_num_scalar_qk,
+            num_point_qk=self.struct_num_point_qk,
+        )
+
+
+class OmegaFoldParams(NamedTuple):
+    plm: PLMParams
+    plm_node_embedder: LinearParams
+    plm_edge_embedder: LinearParams
+    input_embedder: EdgeEmbedderParams
+    recycle: RecycleEmbedderParams
+    geoformer: GeoFormerParams
+    structure: StructureParams
+    confidence: ConfidenceParams
+
+
+def _normalize_unbiased(x, eps=1e-5):
+    """utils.normalize(in_place=True) uses torch.var's UNBIASED estimator
+    (torch_utils.py:74-80) — mirrored exactly."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    n = x.shape[-1]
+    var = jnp.sum((x - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def get_all_confidence(plddt, ca_pos, mask, cutoff: float = 15.0):
+    """Overall lDDT confidence (confidence.py:39-90)."""
+    d = jnp.sqrt(
+        jnp.sum((ca_pos[:, None] - ca_pos[None, :]) ** 2, -1) + 1e-10
+    )
+    scored = (
+        (d < cutoff)
+        * mask[:, None]
+        * mask[None, :]
+        * (1.0 - jnp.eye(d.shape[0]))
+    )
+    return jnp.sum(plddt * (jnp.sum(scored, -1) + 1e-10)) / (
+        1e-10 + jnp.sum(scored)
+    )
+
+
+def deep_sequence_embed(params: OmegaFoldParams, cfg: OmegaFoldConfig,
+                        p_msa, p_msa_mask):
+    """PLM forward + projections + input edge embedder (model.py:212-246)."""
+    node, edges = omega_plm(params.plm, cfg.plm, p_msa, p_msa_mask)
+    node = params.plm_node_embedder(_normalize_unbiased(node))
+    edge = jnp.transpose(edges, (1, 2, 0))  # [L, L, num_layers]
+    edge = params.plm_edge_embedder(_normalize_unbiased(edge))
+    edge = edge_embedder(params.input_embedder, p_msa[..., 0, :], out=edge)
+    return node, edge
+
+
+def omegafold_cycle(params: OmegaFoldParams, cfg: OmegaFoldConfig,
+                    p_msa, p_msa_mask, prev_node, prev_edge, prev_x):
+    """One recycling iteration (OmegaFoldCycle.forward + the wrapping loop
+    body, model.py:59-110, 166-196). Returns
+    (node_out [L, node_dim], edge_out [L, L, edge_dim], confidence_overall,
+     new (prev_node, prev_edge, prev_x))."""
+    fasta = p_msa[..., 0, :]
+    mask = p_msa_mask[..., 0, :]
+
+    node, edge = deep_sequence_embed(params, cfg, p_msa, p_msa_mask)
+    node, edge = recycle_embedder(
+        params.recycle, fasta, prev_node, prev_edge, prev_x, node, edge
+    )
+    prev_node_full, edge, final_node = geoformer(
+        params.geoformer, node, edge, p_msa_mask,
+        attn_c=cfg.attn_c, geom_c=cfg.geom_c, geom_head=cfg.geom_head,
+    )
+    node_struct, (rots, trans), torsions = structure_module(
+        params.structure, final_node[..., 0, :, :], edge, mask,
+        ipa_dims=cfg.struct_ipa_dims,
+    )
+    pos14, _ = atoms.frames_and_torsions_to_atom14(
+        rots, trans, mask.astype(bool), torsions, fasta
+    )
+    plddt = confidence_head(params.confidence, node_struct)
+    conf = get_all_confidence(plddt, pos14[..., 1, :], mask)
+
+    node_out = prev_node_full[..., 0, :, :]
+    return node_out, edge, conf, (node_out, edge, pos14)
+
+
+def omegafold_embed(params: OmegaFoldParams, cfg: OmegaFoldConfig,
+                    cycle_inputs, *, predict_with_confidence: bool = True,
+                    jit: bool = True):
+    """Run all recycling cycles; return (edge_repr, node_repr) of the most
+    confident cycle (model.py:146-210: `if confidence_overall >
+    max_confidence` — strictly greater, first cycle wins ties)."""
+    num_res = cycle_inputs[0]["p_msa"].shape[-1]
+    prev_node = jnp.zeros((num_res, cfg.node_dim), jnp.float32)
+    prev_edge = jnp.zeros((num_res, num_res, cfg.edge_dim), jnp.float32)
+    prev_x = jnp.zeros((num_res, 14, 3), jnp.float32)
+
+    if jit:
+        fn = _jitted_cycle(cfg)
+    else:
+        fn = lambda p, a, b, pn, pe, px: omegafold_cycle(
+            p, cfg, a, b, pn, pe, px
+        )
+
+    max_conf = 0.0
+    final = None
+    for cyc in cycle_inputs:
+        node_out, edge_out, conf, (prev_node, prev_edge, prev_x) = fn(
+            params, jnp.asarray(cyc["p_msa"]),
+            jnp.asarray(cyc["p_msa_mask"]),
+            prev_node, prev_edge, prev_x,
+        )
+        conf = float(conf)
+        if not predict_with_confidence or conf > max_conf or final is None:
+            max_conf = max(max_conf, conf)
+            final = (edge_out, node_out)
+    return final[0], final[1], max_conf
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_cycle(cfg: OmegaFoldConfig):
+    return jax.jit(
+        lambda params, p_msa, p_msa_mask, pn, pe, px: omegafold_cycle(
+            params, cfg, p_msa, p_msa_mask, pn, pe, px
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# weight import
+# ---------------------------------------------------------------------------
+def params_from_torch(model) -> tuple[OmegaFoldParams, OmegaFoldConfig]:
+    """Convert a reference torch OmegaFold module (model.py:122-137)."""
+    plm_params, plm_cfg = plm_params_from_torch(model.omega_plm)
+    params = OmegaFoldParams(
+        plm=plm_params,
+        plm_node_embedder=linear_from_torch(model.plm_node_embedder),
+        plm_edge_embedder=linear_from_torch(model.plm_edge_embedder),
+        input_embedder=edge_embedder_from_torch(model.input_embedder),
+        recycle=recycle_embedder_from_torch(model.recycle_embedder),
+        geoformer=geoformer_params_from_torch(
+            model.omega_fold_cycle.geoformer
+        ),
+        structure=structure_params_from_torch(
+            model.omega_fold_cycle.structure_module
+        ),
+        confidence=confidence_params_from_torch(
+            model.omega_fold_cycle.confidence_head
+        ),
+    )
+    c = model.cfg
+    cfg = OmegaFoldConfig(
+        plm=plm_cfg,
+        node_dim=c.node_dim, edge_dim=c.edge_dim,
+        attn_c=c.attn_c, geom_c=c.geom_c, geom_head=c.geom_head,
+        struct_num_head=c.struct.num_head,
+        struct_num_scalar_qk=c.struct.num_scalar_qk,
+        struct_num_point_qk=c.struct.num_point_qk,
+    )
+    return params, cfg
+
+
+class _SDNode:
+    """Attribute/index view over a flat torch state_dict, so the existing
+    *_from_torch converters can walk a released checkpoint WITHOUT
+    instantiating the reference torch model. Leaves are the checkpoint's
+    tensors (torch tensors or numpy arrays wrapped to quack like them)."""
+
+    def __init__(self, sd: dict, prefix: str = "", extra: dict | None = None):
+        object.__setattr__(self, "_sd", sd)
+        object.__setattr__(self, "_prefix", prefix)
+        object.__setattr__(self, "_extra", extra or {})
+
+    def __getattr__(self, name):
+        if name in self._extra:
+            return self._extra[name]
+        key = self._prefix + name
+        if key in self._sd:
+            return _leaf(self._sd[key])
+        return _SDNode(self._sd, key + ".")
+
+    def __getitem__(self, idx):
+        return getattr(self, str(idx))
+
+    def __len__(self):
+        n = -1
+        plen = len(self._prefix)
+        for k in self._sd:
+            if k.startswith(self._prefix):
+                head = k[plen:].split(".", 1)[0]
+                if head.isdigit():
+                    n = max(n, int(head))
+        return n + 1
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
+class _Leaf:
+    """numpy array quacking like a torch tensor (.detach().numpy())."""
+
+    def __init__(self, arr):
+        self._arr = arr
+
+    def detach(self):
+        return self
+
+    def numpy(self):
+        import numpy as np
+
+        return np.asarray(self._arr)
+
+
+def _leaf(x):
+    return x if hasattr(x, "detach") else _Leaf(x)
+
+
+def params_from_state_dict(
+    sd: dict, cfg: OmegaFoldConfig | None = None
+) -> tuple[OmegaFoldParams, OmegaFoldConfig]:
+    """Build params from a released-checkpoint state_dict (the file loaded
+    by the reference's torch.load, __main__.py:48-56). Keys follow the
+    reference module tree; 'module.' prefixes are stripped."""
+    sd = {k.removeprefix("module."): v for k, v in sd.items()}
+    cfg = cfg or OmegaFoldConfig()
+    root = _SDNode(sd)
+    plm_node = _SDNode(
+        sd, "omega_plm.",
+        extra={
+            "cfg": type(
+                "C", (), dict(
+                    alphabet_size=cfg.plm.alphabet_size, node=cfg.plm.node,
+                    padding_idx=cfg.plm.padding_idx, edge=cfg.plm.num_layers,
+                    proj_dim=cfg.plm.proj_dim, attn_dim=cfg.plm.attn_dim,
+                    num_relpos=cfg.plm.num_relpos,
+                    masked_ratio=cfg.plm.masked_ratio,
+                )
+            )(),
+            "layers": _SDNode(sd, "omega_plm.layers."),
+            "input_embedding": _SDNode(sd, "omega_plm.input_embedding."),
+            "output_norm": _SDNode(sd, "omega_plm.output_norm."),
+        },
+    )
+    plm_params, _ = plm_params_from_torch(plm_node)
+
+    # RecycleEmbedder's distogram breaks are config, not weights
+    rec = _SDNode(
+        sd, "recycle_embedder.",
+        extra={
+            "dgram": type(
+                "D", (), {
+                    "cfg": type(
+                        "B", (), dict(
+                            first_break=3.25, last_break=20.75, num_bins=16
+                        )
+                    )()
+                }
+            )(),
+            "layernorm_node": _SDNode(sd, "recycle_embedder.layernorm_node."),
+            "layernorm_edge": _SDNode(sd, "recycle_embedder.layernorm_edge."),
+            "prev_pos_embed": _SDNode(sd, "recycle_embedder.prev_pos_embed."),
+        },
+    )
+
+    params = OmegaFoldParams(
+        plm=plm_params,
+        plm_node_embedder=linear_from_torch(root.plm_node_embedder),
+        plm_edge_embedder=linear_from_torch(root.plm_edge_embedder),
+        input_embedder=edge_embedder_from_torch(root.input_embedder),
+        recycle=recycle_embedder_from_torch(rec),
+        geoformer=geoformer_params_from_torch(root.omega_fold_cycle.geoformer),
+        structure=structure_params_from_torch(
+            root.omega_fold_cycle.structure_module
+        ),
+        confidence=confidence_params_from_torch(
+            root.omega_fold_cycle.confidence_head
+        ),
+    )
+    return params, cfg

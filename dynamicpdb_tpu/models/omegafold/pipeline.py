@@ -1,0 +1,122 @@
+"""OmegaFold input pipeline (port step 7 of docs/OMEGAFOLD_PORT.md).
+
+Equivalent of pipeline.fasta2inputs
+(/root/reference/src/toolbox/OmegaFold/omegafold/pipeline.py:92-160): parse
+FASTA text into tokenized sequences and build the per-cycle pseudo-MSA —
+num_pseudo_msa randomly-masked copies of the sequence stacked under the
+unmasked row, masked positions replaced by the mask token (21).
+
+For bit-identical inputs to the reference extractor, the random subsampling
+masks are drawn with torch's CPU generator seeded by the sequence length
+(the reference's `deterministic` mode). torch is an offline/test dependency
+only — the model itself is pure JAX.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+RESTYPES = "ARNDCQEGHILKMFPSTWYV"  # + X (20); '-' / mask token = 21
+MASK_TOKEN = 21
+
+
+def parse_fasta(fasta_lines) -> list[tuple[str, str]]:
+    """[(chain_id, sequence)] sorted by sequence length (pipeline.py:116-132)."""
+    chain_ids: list[str] = []
+    aastr: list[str] = []
+    expecting_seq = False
+    for line in fasta_lines:
+        line = line.rstrip("\n")
+        if len(line) == 0:
+            continue
+        if line.startswith(">") or line.startswith(":"):
+            expecting_seq = True
+            chain_ids.append(line[1:])
+        else:
+            if expecting_seq:
+                aastr.append(line.upper())
+                expecting_seq = False
+            else:
+                aastr[-1] = aastr[-1] + line.upper()
+    return sorted(zip(chain_ids, aastr), key=lambda x: len(x[1]))
+
+
+def tokenize(seq: str) -> np.ndarray:
+    """Sequence string -> int tokens (Z->E, B->D, U->C, X->20, '-'->21)."""
+    seq = seq.replace("Z", "E").replace("B", "D").replace("U", "C")
+    out = []
+    for aa in seq:
+        if aa == "-":
+            out.append(21)
+        elif aa == "X":
+            out.append(20)
+        else:
+            idx = RESTYPES.find(aa)
+            if idx < 0:
+                raise ValueError(f"unknown residue {aa!r}")
+            out.append(idx)
+    return np.asarray(out, np.int64)
+
+
+def make_pseudo_msa(
+    aatype: np.ndarray,
+    *,
+    num_pseudo_msa: int = 15,
+    mask_rate: float = 0.12,
+    num_cycle: int = 10,
+    deterministic: bool = True,
+    seed: int | None = None,
+) -> list[dict]:
+    """Per-cycle {p_msa [M, L], p_msa_mask [M, L]} inputs (pipeline.py:
+    139-157). Row 0 is the true sequence, rows 1..M-1 are randomly masked
+    copies; masked positions carry token 21."""
+    num_res = len(aatype)
+    mask = np.ones((num_res,), np.float32)
+    try:
+        import torch
+
+        g = None
+        if deterministic:
+            g = torch.Generator()
+            g.manual_seed(num_res if seed is None else seed)
+        rand = lambda: torch.rand(
+            [num_pseudo_msa, num_res], generator=g
+        ).numpy()
+    except ImportError:  # pragma: no cover - torch is baked into the image
+        rng = np.random.default_rng(num_res if seed is None else seed)
+        rand = lambda: rng.random((num_pseudo_msa, num_res), np.float32)
+
+    data = []
+    for _ in range(num_cycle):
+        p_msa_mask = rand() > mask_rate
+        p_msa_mask = np.concatenate([mask[None, :], p_msa_mask], axis=0)
+        p_msa = np.tile(aatype[None, :], (num_pseudo_msa + 1, 1))
+        p_msa[p_msa_mask == 0] = MASK_TOKEN
+        data.append(
+            {
+                "p_msa": p_msa.astype(np.int64),
+                "p_msa_mask": p_msa_mask.astype(np.float32),
+            }
+        )
+    return data
+
+
+def fasta2inputs(
+    fasta_lines,
+    *,
+    num_pseudo_msa: int = 15,
+    mask_rate: float = 0.12,
+    num_cycle: int = 10,
+    deterministic: bool = True,
+) -> Iterator[tuple[str, list[dict]]]:
+    """Yield (chain_id, cycle_inputs) per sequence, shortest first."""
+    for ch, seq in parse_fasta(fasta_lines):
+        aatype = tokenize(seq)
+        yield ch, make_pseudo_msa(
+            aatype,
+            num_pseudo_msa=num_pseudo_msa,
+            mask_rate=mask_rate,
+            num_cycle=num_cycle,
+            deterministic=deterministic,
+        )

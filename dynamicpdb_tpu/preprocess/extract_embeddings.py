@@ -1,0 +1,106 @@
+"""Native OmegaFold embedding extraction on TPU (completes the port,
+docs/OMEGAFOLD_PORT.md step 8).
+
+Replaces the reference's torch extractor
+(/root/reference/data_preprocess/extract_embedding.py:39-73 +
+src/toolbox/OmegaFold/omegafold/__main__.py:41-145) with the JAX port in
+models/omegafold: per sequence, build the deterministic pseudo-MSA cycles,
+run the recycling loop, and save the most-confident cycle's
+(node_repr [N, 256], edge_repr [N, N, 128]) as {pid}.npz — the contract the
+DFOLD data pipeline consumes (Dfold_data_loader_dynamic.py:311-316).
+
+    python -m dynamicpdb_tpu.preprocess.extract_embeddings \
+        --fasta seqs.fasta --out-dir embeds/ --weights release.pt \
+        [--num-cycles 10] [--num-pseudo-msa 15]
+
+Weights: the released OmegaFold checkpoint (torch state_dict file) imported
+WITHOUT torch model code via models/omegafold/model.params_from_state_dict.
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def load_release_weights(weights_path: str):
+    """torch.load a released checkpoint file -> (params, cfg). Accepts a raw
+    state_dict or a {'model': state_dict} wrapper (torch serialization of
+    the reference release)."""
+    import torch
+
+    from dynamicpdb_tpu.models.omegafold.model import params_from_state_dict
+
+    sd = torch.load(weights_path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "model" in sd and not any(
+        k.startswith(("omega_plm", "module.omega_plm")) for k in sd
+    ):
+        sd = sd["model"]
+    return params_from_state_dict(sd)
+
+
+def extract_embeddings(
+    fasta_lines,
+    params,
+    cfg,
+    *,
+    num_cycles: int = 10,
+    num_pseudo_msa: int = 15,
+    jit: bool = True,
+):
+    """Yield (name, {node_repr, edge_repr, confidence}) per sequence."""
+    from dynamicpdb_tpu.models.omegafold.model import omegafold_embed
+    from dynamicpdb_tpu.models.omegafold.pipeline import fasta2inputs
+
+    for name, cycles in fasta2inputs(
+        fasta_lines, num_pseudo_msa=num_pseudo_msa, num_cycle=num_cycles
+    ):
+        t0 = time.time()
+        edge, node, conf = omegafold_embed(params, cfg, cycles, jit=jit)
+        log.info(
+            "%s: %d res, %d cycles, confidence %.3f (%.1fs)",
+            name, node.shape[0], num_cycles, conf, time.time() - t0,
+        )
+        yield name, {
+            "node_repr": np.asarray(node),
+            "edge_repr": np.asarray(edge),
+            "confidence": np.float32(conf),
+        }
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--fasta", required=True)
+    parser.add_argument("--out-dir", required=True)
+    parser.add_argument("--weights", required=True,
+                        help="released OmegaFold checkpoint (torch file)")
+    parser.add_argument("--num-cycles", type=int, default=10)
+    parser.add_argument("--num-pseudo-msa", type=int, default=15)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+
+    from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    params, cfg = load_release_weights(args.weights)
+    os.makedirs(args.out_dir, exist_ok=True)
+    with open(args.fasta) as f:
+        lines = f.readlines()
+    for name, arrays in extract_embeddings(
+        lines, params, cfg,
+        num_cycles=args.num_cycles, num_pseudo_msa=args.num_pseudo_msa,
+    ):
+        out = os.path.join(args.out_dir, f"{name}.npz")
+        np.savez_compressed(out, **arrays)
+        log.info("wrote %s", out)
+
+
+if __name__ == "__main__":
+    main()

@@ -158,3 +158,36 @@ def test_geoformer_block_parity():
     )
     np.testing.assert_allclose(np.asarray(got_node), ref_node.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_edge), ref_edge.numpy(), atol=1e-4)
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_geoformer_block_parity_partial_msa_mask():
+    """Regression: attention_w_edge_bias takes the FULL [M, L] pseudo-MSA
+    mask (per-row key masking, modules.py:527-529) — a row-0-only mask
+    diverged by ~1.5 on random inputs."""
+    from omegafold import geoformer as ref_geo
+
+    cfg = types.SimpleNamespace(
+        node_dim=D_NODE, edge_dim=D_EDGE, attn_n_head=H, gating=True,
+        attn_c=C, transition_multiplier=2, activation="ReLU",
+        opm_dim=10, geom_c=C, geom_head=H, geom_count=2,
+    )
+    torch.manual_seed(8)
+    block = _sane_init(ref_geo.GeoFormerBlock(cfg))
+    M, L = 4, 10
+    node = RNG.normal(size=(M, L, D_NODE)).astype(np.float32)
+    edge = RNG.normal(size=(L, L, D_EDGE)).astype(np.float32)
+    mask = (RNG.random((M, L)) > 0.2).astype(np.float32)
+    mask[0] = 1.0
+    with torch.no_grad():
+        ref_node, ref_edge = block(
+            torch.tensor(node), torch.tensor(edge), torch.tensor(mask),
+            fwd_cfg=FWD,
+        )
+    p = G.block_params_from_torch(block)
+    got_node, got_edge = G.geoformer_block(
+        p, jnp.asarray(node), jnp.asarray(edge), jnp.asarray(mask),
+        attn_c=C, geom_c=C, geom_head=H,
+    )
+    np.testing.assert_allclose(np.asarray(got_node), ref_node.numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_edge), ref_edge.numpy(), atol=1e-4)

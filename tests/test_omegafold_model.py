@@ -1,0 +1,201 @@
+"""Full-model torch parity for the OmegaFold port (step 8): fasta ->
+pseudo-MSA -> PLM -> GeoFormer -> structure -> confidence-selected
+(edge_repr, node_repr) through 3 recycling cycles, plus the state_dict
+importer."""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from dynamicpdb_tpu.models.omegafold import model as M
+from dynamicpdb_tpu.models.omegafold import pipeline as P
+
+REF = "/root/reference/src/toolbox/OmegaFold"
+ref_available = os.path.isdir(REF)
+
+if ref_available:
+    for name in ["Bio", "Bio.PDB", "Bio.Data", "Bio.Data.SCOPData"]:
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["Bio"].PDB = sys.modules["Bio.PDB"]
+    sys.modules["Bio"].Data = sys.modules["Bio.Data"]
+    sys.modules["Bio.Data"].SCOPData = sys.modules["Bio.Data.SCOPData"]
+    sys.modules["Bio.Data.SCOPData"].protein_letters_3to1 = {}
+    sys.path.insert(0, REF)
+    import torch
+
+RNG = np.random.default_rng(6)
+
+
+def _small_cfg():
+    ns = types.SimpleNamespace
+    return ns(
+        alphabet_size=21,
+        plm=ns(
+            alphabet_size=23, node=32, padding_idx=21, edge=3, proj_dim=48,
+            attn_dim=16, num_head=1, num_relpos=129, masked_ratio=0.12,
+        ),
+        node_dim=24,
+        edge_dim=16,
+        relpos_len=32,
+        prev_pos=ns(first_break=3.25, last_break=20.75, num_bins=16,
+                    ignore_index=0),
+        c=16,
+        geo_num_blocks=2,
+        gating=True,
+        attn_c=8,
+        attn_n_head=2,
+        transition_multiplier=2,
+        activation="ReLU",
+        opm_dim=10,
+        geom_count=2,
+        geom_c=8,
+        geom_head=2,
+        struct=ns(
+            node_dim=20, edge_dim=16, num_cycle=2, num_transition=2,
+            num_head=2, num_point_qk=4, num_point_v=4, num_scalar_qk=6,
+            num_scalar_v=6, num_channel=20, num_residual_block=2,
+            hidden_dim=18, num_bins=10,
+        ),
+    )
+
+
+def _sane_init(mod):
+    with torch.no_grad():
+        for q in mod.parameters():
+            q.normal_(0, 0.3)
+    return mod
+
+
+def _build_ref():
+    from omegafold import model as ref_model
+
+    torch.manual_seed(9)
+    return _sane_init(ref_model.OmegaFold(_small_cfg())).eval()
+
+
+FASTA = [">t\n", "MKTAYIAKQRQISFVK\n"]
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_full_model_parity_three_cycles():
+    ref = _build_ref()
+    fwd_cfg = types.SimpleNamespace(subbatch_size=None)
+
+    name, cycles = next(P.fasta2inputs(FASTA, num_pseudo_msa=3, num_cycle=3))
+    ref_inputs = [
+        {"p_msa": torch.tensor(c["p_msa"]),
+         "p_msa_mask": torch.tensor(c["p_msa_mask"])}
+        for c in cycles
+    ]
+    with torch.no_grad():
+        ref_edge, ref_node = ref(ref_inputs, fwd_cfg=fwd_cfg)
+
+    params, cfg = M.params_from_torch(ref)
+    edge, node, conf = M.omegafold_embed(params, cfg, cycles, jit=False)
+
+    assert 0 < conf <= 1
+    np.testing.assert_allclose(
+        np.asarray(node), ref_node.numpy(), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(edge), ref_edge.numpy(), atol=2e-4
+    )
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_state_dict_importer_matches_module_conversion():
+    """params_from_state_dict(sd) must equal params_from_torch(module)."""
+    import jax
+
+    ref = _build_ref()
+    params_a, cfg = M.params_from_torch(ref)
+
+    sd = ref.state_dict()
+    plm_cfg = M.PLMConfig(
+        alphabet_size=23, node=32, padding_idx=21, num_layers=3,
+        proj_dim=48, attn_dim=16, num_relpos=129, masked_ratio=0.12,
+    )
+    our_cfg = M.OmegaFoldConfig(
+        plm=plm_cfg, node_dim=24, edge_dim=16, attn_c=8, geom_c=8,
+        geom_head=2, struct_num_head=2, struct_num_scalar_qk=6,
+        struct_num_point_qk=4,
+    )
+    params_b, _ = M.params_from_state_dict(sd, our_cfg)
+
+    la = jax.tree_util.tree_leaves(params_a)
+    lb = jax.tree_util.tree_leaves(params_b)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_jit_cycle_matches_eager():
+    ref = _build_ref()
+    params, cfg = M.params_from_torch(ref)
+    _, cycles = next(P.fasta2inputs(FASTA, num_pseudo_msa=2, num_cycle=2))
+    e1, n1, c1 = M.omegafold_embed(params, cfg, cycles, jit=False)
+    e2, n2, c2 = M.omegafold_embed(params, cfg, cycles, jit=True)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n2), atol=2e-5)
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_extract_embeddings_end_to_end(tmp_path):
+    """fasta file -> native extractor -> npz contract (shapes, finiteness,
+    deterministic across runs)."""
+    from dynamicpdb_tpu.preprocess.extract_embeddings import extract_embeddings
+
+    ref = _build_ref()
+    params, cfg = M.params_from_torch(ref)
+    fasta = [">p1\n", "MKTAYIAKQRQISFVK\n", ">p2\n", "GSHMKT\n"]
+
+    out = dict(extract_embeddings(fasta, params, cfg, num_cycles=2,
+                                  num_pseudo_msa=2, jit=False))
+    assert set(out) == {"p1", "p2"}
+    assert out["p2"]["node_repr"].shape == (6, 24)
+    assert out["p2"]["edge_repr"].shape == (6, 6, 16)
+    assert out["p1"]["node_repr"].shape == (16, 24)
+    for v in out.values():
+        assert np.isfinite(v["node_repr"]).all()
+        assert np.isfinite(v["edge_repr"]).all()
+        assert 0 < float(v["confidence"]) <= 1
+
+    out2 = dict(extract_embeddings(fasta, params, cfg, num_cycles=2,
+                                   num_pseudo_msa=2, jit=False))
+    np.testing.assert_array_equal(
+        out["p1"]["node_repr"], out2["p1"]["node_repr"]
+    )
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_load_release_weights_roundtrip(tmp_path):
+    """torch.save'd state_dict file -> params identical to module conversion."""
+    import jax
+
+    from dynamicpdb_tpu.models.omegafold.model import params_from_state_dict
+
+    ref = _build_ref()
+    params_a, _ = M.params_from_torch(ref)
+    path = tmp_path / "release.pt"
+    torch.save(ref.state_dict(), str(path))
+
+    sd = torch.load(str(path), map_location="cpu", weights_only=False)
+    plm_cfg = M.PLMConfig(
+        alphabet_size=23, node=32, padding_idx=21, num_layers=3,
+        proj_dim=48, attn_dim=16, num_relpos=129, masked_ratio=0.12,
+    )
+    our_cfg = M.OmegaFoldConfig(
+        plm=plm_cfg, node_dim=24, edge_dim=16, attn_c=8, geom_c=8,
+        geom_head=2, struct_num_head=2, struct_num_scalar_qk=6,
+        struct_num_point_qk=4,
+    )
+    params_b, _ = params_from_state_dict(sd, our_cfg)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_a), jax.tree_util.tree_leaves(params_b)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -40,6 +40,7 @@ def main():
         restype_atom14_to_aa=rc.restype_atom14_to_aa.numpy(),
         restype_atom14_mask=rc.restype_atom14_mask.numpy(),
         restype_atom14_aa_positions=rc.restype_atom14_aa_positions.numpy(),
+        restype2atom_mask=rc.restype2atom_mask.numpy(),
     )
     print("wrote", OUT)
 
