@@ -19,7 +19,13 @@ import jax
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--ckpt", required=True,
+                        help="our msgpack checkpoint, or (with --ref-ckpt) a "
+                        "reference torch checkpoint (.pth/.pkl)")
+    parser.add_argument("--ref-ckpt", action="store_true",
+                        help="treat --ckpt as a REFERENCE torch checkpoint "
+                        "(train_DFOLD_dynamics format) and import its "
+                        "weights via train/import_torch")
     parser.add_argument("--config", default=None)
     parser.add_argument("--save-dir", default=None)
     parser.add_argument("--extension", type=int, default=0,
@@ -48,6 +54,20 @@ def main(argv=None):
         if args.config
         else config_lib.apply_overrides(config_lib.Config(), args.overrides)
     )
+
+    if args.ref_ckpt:
+        from dynamicpdb_tpu.train.import_torch import import_reference_checkpoint
+
+        dataset = TrajectoryDataset(
+            cfg.data, split="test", pad_to=cfg.data.filtering.max_len
+        )
+        trainer = Trainer(cfg)
+        params, extras = import_reference_checkpoint(args.ckpt, cfg.model)
+        log.info("imported reference checkpoint %s (step %s)",
+                 args.ckpt, extras.get("step"))
+        key = jax.random.PRNGKey(cfg.experiment.seed)
+        _run_eval(args, cfg, trainer, params, dataset, key, log)
+        return
 
     # restore checkpoint; merge its saved model config (eval:113-136)
     with open(args.ckpt, "rb") as f:
@@ -80,6 +100,17 @@ def main(argv=None):
     state = ckpt_lib.restore(args.ckpt, params)
     params = state["params"]
     log.info("loaded %s (step %d)", args.ckpt, state["step"])
+
+    _run_eval(args, cfg, trainer, params, dataset, key, log)
+
+
+def _run_eval(args, cfg, trainer, params, dataset, key, log):
+    import numpy as np
+
+    import jax
+
+    from dynamicpdb_tpu.data.dataset import eval_windows
+    from dynamicpdb_tpu.sampling.evaluate import evaluate
 
     if args.extension:
         import jax.numpy as jnp

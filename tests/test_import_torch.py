@@ -1,0 +1,158 @@
+"""Trained-checkpoint interop: a reference-format torch checkpoint imports
+into flax params that reproduce the reference forward exactly (inverse of
+the tools/parity_model.py mapping)."""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+ref_available = os.path.isdir("/root/reference")
+
+if ref_available:
+    for name in ["Bio", "Bio.PDB", "Bio.PDB.Chain", "omegaconf"]:
+        sys.modules.setdefault(name, types.ModuleType(name))
+    sys.modules["Bio.PDB"].PDBParser = object
+    sys.modules["Bio"].PDB = sys.modules["Bio.PDB"]
+    sys.modules["Bio.PDB.Chain"].Chain = object
+    sys.modules["omegaconf"].OmegaConf = object
+    sys.modules["omegaconf"].DictConfig = object
+    _ds = types.ModuleType("deepspeed")
+    _ds.utils = types.SimpleNamespace(is_initialized=lambda: False)
+    sys.modules.setdefault("deepspeed", _ds)
+    sys.path.insert(0, "/root/reference")
+    import torch
+
+import jax
+import jax.numpy as jnp
+
+from dynamicpdb_tpu.config import EmbedConfig, IPAConfig, ModelConfig
+from dynamicpdb_tpu.diffusion.r3_diffuser import R3Config
+from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Config, SE3Diffuser
+from dynamicpdb_tpu.diffusion.so3_diffuser import SO3Config
+from dynamicpdb_tpu.models.score_network import DFoldScoreNetwork, score_forward
+from dynamicpdb_tpu.train.import_torch import (
+    import_reference_checkpoint,
+)
+
+F, N = 2, 12
+C_S, C_Z, C_H, H, PQ, PV, BLOCKS = 32, 16, 16, 2, 2, 3, 2
+SO3_GRID = dict(num_omega=100, num_sigma=50, min_sigma=0.1, max_sigma=1.5)
+
+MY_CFG = ModelConfig(
+    node_embed_size=C_S, edge_embed_size=C_Z, embed=EmbedConfig(),
+    ipa=IPAConfig(c_s=C_S, c_z=C_Z, c_hidden=C_H, no_heads=H,
+                  no_qk_points=PQ, no_v_points=PV, num_blocks=BLOCKS,
+                  coordinate_scaling=1.0),
+)
+
+
+def _ns(**kw):
+    return types.SimpleNamespace(**kw)
+
+
+def _build_reference():
+    from src.data.se3_diffuser import SE3Diffuser as RefSE3
+    from src.model.Dfold_network_dynamic import FullScoreNetwork
+
+    model_conf = _ns(
+        node_embed_size=C_S, edge_embed_size=C_Z, frame_time=F, dynamics=True,
+        cfg_drop_rate=0.0, cfg_drop_in_train=False, cfg_gamma=2.0,
+        embed=_ns(DFOLDv2_embedder=True, index_embed_size=32,
+                  aatype_embed_size=32, embed_self_conditioning=False,
+                  num_bins=22, min_bin=1e-5, max_bin=20.0, skip_feature=True),
+        ipa=_ns(c_s=C_S, c_z=C_Z, c_hidden=C_H, no_heads=H, no_qk_points=PQ,
+                no_v_points=PV, num_blocks=BLOCKS, coordinate_scaling=1.0,
+                temporal=False),
+    )
+    diff_conf = _ns(
+        diffuse_rot=True, diffuse_trans=True, dynamics=True, frame_time=F,
+        so3=_ns(schedule="logarithmic", cache_dir="/tmp/ref_igso3_cache",
+                use_cached_score=False, **SO3_GRID),
+        r3=_ns(min_b=0.1, max_b=20.0, coordinate_scaling=1.0),
+    )
+    torch.manual_seed(1)
+    model = FullScoreNetwork(model_conf, RefSE3(diff_conf)).eval()
+    # zero-init bb updates never move frames; give them real weights so the
+    # imported checkpoint exercises the whole trunk
+    with torch.no_grad():
+        for b in range(BLOCKS):
+            lin = model.score_model.trunk[f"bb_update_{b}"].linear
+            lin.weight.copy_(torch.randn_like(lin.weight) * 0.02)
+    return model
+
+
+def _fake_feats(rng):
+    quat = rng.normal(size=(F, N, 4))
+    quat /= np.linalg.norm(quat, axis=-1, keepdims=True)
+    rigids_0 = np.concatenate([quat, rng.normal(size=(F, N, 3)) * 5], -1)
+    quat_t = rng.normal(size=(F, N, 4))
+    quat_t /= np.linalg.norm(quat_t, axis=-1, keepdims=True)
+    rigids_t = np.concatenate([quat_t, rng.normal(size=(F, N, 3))], -1)
+    return {
+        "res_mask": np.ones((F, N), np.float32),
+        "fixed_mask": np.zeros((F, N), np.float32),
+        "seq_idx": np.tile(np.arange(1, N + 1, dtype=np.int64)[None], (F, 1)),
+        "t": np.full((F,), 0.37, np.float32),
+        "rigids_t": rigids_t.astype(np.float32),
+        "rigids_0": rigids_0.astype(np.float32),
+        "node_repr": rng.normal(size=(N, 256)).astype(np.float32),
+        "edge_repr": rng.normal(size=(N, N, 128)).astype(np.float32),
+        "torsion_angles_sin_cos": rng.normal(size=(F, N, 7, 2)).astype(np.float32),
+        "torsion_angles_mask": np.ones((F, N, 7), np.float32),
+        "force": rng.normal(size=(F, N, 3)).astype(np.float32),
+        "vel": rng.normal(size=(F, N, 3)).astype(np.float32),
+        "aatype": rng.integers(0, 20, (F, N)),
+        "sc_ca_t": np.zeros((F, N, 3), np.float32),
+    }
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_reference_checkpoint_roundtrip(tmp_path):
+    ref_model = _build_reference()
+
+    # write a checkpoint in the reference's exact on-disk format
+    # (write_checkpoint, src/data/utils.py:324-362), incl. DDP 'module.'
+    # prefixes and an unpicklable-here conf object
+    ckpt = tmp_path / "step_77.pth"
+    torch.save(
+        {
+            "model": {f"module.{k}": v for k, v in
+                      ref_model.state_dict().items()},
+            "conf": None,
+            "optimizer": None,
+            "epoch": 3,
+            "step": 77,
+        },
+        str(ckpt),
+    )
+
+    params, extras = import_reference_checkpoint(str(ckpt), MY_CFG)
+    assert extras["step"] == 77 and extras["epoch"] == 3
+
+    rng = np.random.default_rng(0)
+    feats_np = _fake_feats(rng)
+    with torch.no_grad():
+        ref_out = ref_model({k: torch.tensor(v) for k, v in feats_np.items()})
+
+    diffuser = SE3Diffuser(
+        SE3Config(so3=SO3Config(cache_dir=None, series_L=1000, **SO3_GRID),
+                  r3=R3Config(coordinate_scaling=1.0))
+    )
+    model = DFoldScoreNetwork(MY_CFG)
+    my_out = score_forward(
+        model, params, diffuser,
+        {k: jnp.asarray(v) for k, v in feats_np.items()},
+    )
+
+    for key, tol in [("rigids", 1e-3), ("angles", 1e-3), ("atom37", 1e-3),
+                     ("rot_score", 5e-3), ("trans_score", 5e-3)]:
+        mine = np.asarray(my_out[key])
+        theirs = ref_out[key].detach().numpy()
+        if key == "rigids":
+            sign = np.sign(
+                np.sum(mine[..., :4] * theirs[..., :4], -1, keepdims=True)
+            )
+            mine = np.concatenate([mine[..., :4] * sign, mine[..., 4:]], -1)
+        assert np.abs(mine - theirs).max() < tol, key
