@@ -73,13 +73,15 @@ def _build_reference():
         r3=_ns(min_b=0.1, max_b=20.0, coordinate_scaling=1.0),
     )
     torch.manual_seed(1)
-    model = FullScoreNetwork(model_conf, RefSE3(diff_conf)).eval()
+    ref_diffuser = RefSE3(diff_conf)
+    model = FullScoreNetwork(model_conf, ref_diffuser).eval()
     # zero-init bb updates never move frames; give them real weights so the
     # imported checkpoint exercises the whole trunk
     with torch.no_grad():
         for b in range(BLOCKS):
             lin = model.score_model.trunk[f"bb_update_{b}"].linear
             lin.weight.copy_(torch.randn_like(lin.weight) * 0.02)
+    model._ref_diffuser = ref_diffuser
     return model
 
 
@@ -156,3 +158,70 @@ def test_reference_checkpoint_roundtrip(tmp_path):
             )
             mine = np.concatenate([mine[..., :4] * sign, mine[..., 4:]], -1)
         assert np.abs(mine - theirs).max() < tol, key
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_sampler_parity_with_reference_inference_loop(tmp_path):
+    """Reference weights through OUR scan-based sampler reproduce the
+    reference's reverse-diffusion loop (inference_fn, train:1471-1503) at
+    noise_scale=0 (both SDE steps deterministic). This is the end-to-end
+    'imported reference weights reproduce reference eval through our
+    sampler' proof."""
+    import src.data.utils as ref_du
+    from openfold.utils import rigid_utils as ref_ru
+
+    from dynamicpdb_tpu.sampling.reverse import reverse_sample
+
+    ref_model = _build_reference()
+    ref_diffuser = ref_model._ref_diffuser
+    params = __import__(
+        "dynamicpdb_tpu.train.import_torch", fromlist=["x"]
+    ).flax_from_reference_state_dict(ref_model.state_dict(), MY_CFG)
+
+    rng = np.random.default_rng(3)
+    feats_np = _fake_feats(rng)
+    num_t, min_t, dt = 5, 0.01, 1.0 / 5
+
+    # --- reference loop (mirrors inference_fn step semantics exactly) ----
+    sample = {k: torch.tensor(v) for k, v in feats_np.items()}
+    reverse_steps = np.linspace(min_t, 1.0, num_t)[::-1]
+    tp = torch.ones((1,))
+    with torch.no_grad():
+        for t in reverse_steps:
+            sample["t"] = t * tp
+            rs, ts = ref_diffuser.score_scaling(t)
+            sample["rot_score_scaling"] = rs * tp
+            sample["trans_score_scaling"] = ts * tp
+            model_out = ref_model(sample)
+            if t > min_t:
+                diffuse_mask = (1 - sample["fixed_mask"]) * sample["res_mask"]
+                rigids_t = ref_diffuser.reverse(
+                    rigid_t=ref_ru.Rigid.from_tensor_7(sample["rigids_t"]),
+                    rot_score=ref_du.move_to_np(model_out["rot_score"]),
+                    trans_score=ref_du.move_to_np(model_out["trans_score"]),
+                    diffuse_mask=ref_du.move_to_np(diffuse_mask),
+                    t=t, dt=dt, center=True, noise_scale=0.0,
+                )
+            else:
+                rigids_t = ref_ru.Rigid.from_tensor_7(model_out["rigids"])
+            sample["rigids_t"] = rigids_t.to_tensor_7().float()
+    ref_final = sample["rigids_t"].numpy()
+    ref_atom37 = model_out["atom37"].numpy()
+
+    # --- our sampler ------------------------------------------------------
+    diffuser = SE3Diffuser(
+        SE3Config(so3=SO3Config(cache_dir=None, series_L=1000, **SO3_GRID),
+                  r3=R3Config(coordinate_scaling=1.0))
+    )
+    model = DFoldScoreNetwork(MY_CFG)
+    out = reverse_sample(
+        jax.random.PRNGKey(0), model, params, diffuser,
+        {k: jnp.asarray(v) for k, v in feats_np.items()},
+        num_t=num_t, min_t=min_t, noise_scale=0.0,
+    )
+    mine = np.asarray(out["rigids"])
+    sign = np.sign(np.sum(mine[..., :4] * ref_final[..., :4], -1,
+                          keepdims=True))
+    mine = np.concatenate([mine[..., :4] * sign, mine[..., 4:]], -1)
+    assert np.abs(mine - ref_final).max() < 5e-3
+    assert np.abs(np.asarray(out["atom37"]) - ref_atom37).max() < 5e-3
