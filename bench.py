@@ -121,7 +121,10 @@ def main():
               file=sys.stderr)
 
     params, opt_state, aux = compiled(params, opt_state, key, batch)
-    jax.block_until_ready(aux)
+    # host fetch = the only true barrier here: jax.block_until_ready does
+    # NOT synchronize through the axon tunnel (verified with chained-matmul
+    # timing; see tools/bench_pallas.py note)
+    float(aux["total_loss"])
     # best + median of 3: the attached device is a shared/tunneled chip with
     # run-to-run contention variance; peak reflects device capability,
     # median reflects what a user actually gets
@@ -131,7 +134,7 @@ def main():
         params, opt_state, aux = compiled(
             params, opt_state, jax.random.fold_in(key, rep + 1), batch
         )
-        jax.block_until_ready(aux)
+        float(aux["total_loss"])
         sps_runs.append(TRAIN_STEPS / (time.time() - t0))
     train_sps = max(sps_runs)
     train_sps_med = float(np.median(sps_runs))
@@ -159,14 +162,14 @@ def main():
     )
     t0 = time.time()
     out = roll(params, jax.random.PRNGKey(2))
-    jax.block_until_ready(out)
+    np.asarray(out[1])  # host fetch = real sync (see note above)
     roll_compile_s = time.time() - t0
     print(f"rollout compile+first: {roll_compile_s:.1f}s", file=sys.stderr)
     fps_runs = []
     for rep in range(3):
         t0 = time.time()
         out = roll(params, jax.random.PRNGKey(3 + rep))
-        jax.block_until_ready(out)
+        np.asarray(out[1])
         fps_runs.append(ROLLOUT_FRAMES / (time.time() - t0))
     fps = max(fps_runs)
     fps_med = float(np.median(fps_runs))

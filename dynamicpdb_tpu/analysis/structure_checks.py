@@ -37,52 +37,8 @@ def ca_ca_clashes(ca_pos: np.ndarray, tol: float = 1.5):
 
 
 # --- backbone covalent-geometry violations ----------------------------------
-def backbone_bond_violations(atom37: np.ndarray, mask37: np.ndarray,
-                             tol_factor: float = 12.0):
-    """C(i)-N(i+1) peptide bond length + CA-C-N angle violations.
-
-    Mirrors what the reference extracts from AF2's
-    between_residue_bond_loss (bonds_c_n_loss_mean / angles_ca_c_n_loss_mean)
-    using the standard stddevs (0.014 A bond, 0.014 rad-ish angle) and a 12
-    sigma tolerance."""
-    n, ca, c = atom37[:, 0], atom37[:, 1], atom37[:, 2]
-    valid = (mask37[:-1, 2] * mask37[1:, 0]).astype(bool)
-    d_cn = np.linalg.norm(n[1:] - c[:-1], axis=-1)[valid]
-    bond_dev = np.abs(d_cn - C_N_IDEAL)
-    bond_viol = bond_dev > tol_factor * 0.014
-
-    v1 = ca[:-1] - c[:-1]
-    v2 = n[1:] - c[:-1]
-    cos = np.sum(v1 * v2, -1) / (
-        np.linalg.norm(v1, axis=-1) * np.linalg.norm(v2, axis=-1) + 1e-9
-    )
-    ang_dev = np.abs(cos[valid] - CA_C_N_COS_IDEAL)
-    ang_viol = ang_dev > tol_factor * 0.014
-    return {
-        "bonds_c_n_loss_mean": float(np.mean(bond_dev)) if len(d_cn) else 0.0,
-        "bonds_c_n_violation_percent": float(np.mean(bond_viol)) if len(d_cn) else 0.0,
-        "angles_ca_c_n_loss_mean": float(np.mean(ang_dev)) if len(d_cn) else 0.0,
-        "angles_ca_c_n_violation_percent": float(np.mean(ang_viol)) if len(d_cn) else 0.0,
-    }
-
-
-def atom_clash_metrics(atom37: np.ndarray, mask37: np.ndarray,
-                       overlap_tol: float = 1.5):
-    """All-atom steric clashes between non-bonded residues (clashes_mean)."""
-    flat = atom37.reshape(-1, 3)
-    fmask = mask37.reshape(-1).astype(bool)
-    res_idx = np.repeat(np.arange(atom37.shape[0]), atom37.shape[1])[fmask]
-    flat = flat[fmask]
-    d = np.linalg.norm(flat[:, None] - flat[None, :], axis=-1)
-    nonadjacent = np.abs(res_idx[:, None] - res_idx[None, :]) > 1
-    iu = np.triu_indices(len(flat), k=1)
-    sel = nonadjacent[iu]
-    clashes = (d[iu] < overlap_tol) & sel
-    denom = max(int(np.sum(sel)), 1)
-    return {
-        "clashes_mean_loss": float(np.sum(clashes)) / denom,
-        "num_atom_clashes": int(np.sum(clashes)),
-    }
+# Exact AF2 semantics live in analysis/violations.py (golden-tested vs the
+# reference torch implementation); protein_metrics below reports its keys.
 
 
 # --- TM-score ----------------------------------------------------------------
@@ -151,8 +107,12 @@ def secondary_structure_fractions(atom37: np.ndarray) -> dict:
 
 
 def protein_metrics(atom37: np.ndarray, mask37: np.ndarray,
-                    gt_atom37: np.ndarray | None = None) -> dict:
-    """Aggregate (metrics.py:75-118 equivalent)."""
+                    gt_atom37: np.ndarray | None = None,
+                    aatype: np.ndarray | None = None,
+                    residue_index: np.ndarray | None = None) -> dict:
+    """Aggregate (metrics.py:75-118 equivalent). With aatype, the exact AF2
+    violation metrics (analysis/violations.py, golden-tested vs the
+    reference) are included under their reference keys."""
     bb_ok = mask37[:, 1].astype(bool)
     ca = atom37[bb_ok, 1]
     dev, valid = ca_ca_distance(ca)
@@ -163,10 +123,28 @@ def protein_metrics(atom37: np.ndarray, mask37: np.ndarray,
         "num_ca_steric_clashes": n_clash,
         "ca_steric_clash_percent": clash_pct,
         "radius_of_gyration": radius_of_gyration(atom37, mask37),
-        **backbone_bond_violations(atom37, mask37),
-        **atom_clash_metrics(atom37, mask37),
         **secondary_structure_fractions(atom37[bb_ok]),
     }
+    if aatype is not None:
+        from dynamicpdb_tpu.analysis.violations import (
+            compute_violation_metrics,
+        )
+
+        if residue_index is None:
+            residue_index = np.arange(len(aatype), dtype=np.int64)
+        vm = compute_violation_metrics(
+            atom37, mask37, np.asarray(aatype, np.int64), residue_index
+        )
+        out.update({
+            k: vm[k] for k in (
+                "violations_extreme_ca_ca_distance",
+                "violations_between_residue_bond",
+                "violations_between_residue_clash",
+                "violations_within_residue",
+                "violations_per_residue",
+                "num_residue_violations",
+            )
+        })
     if gt_atom37 is not None:
         out["tm_score"] = tm_score(ca, gt_atom37[bb_ok, 1])
     return out

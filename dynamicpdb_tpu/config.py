@@ -66,9 +66,12 @@ class IPAConfig:
     coordinate_scaling: float = 1.0  # run_train.sh:24 (yaml default 0.1)
     temporal: bool = False  # run_train.sh:23
     temporal_position_max_len: int = 40
-    # fused Pallas flash-IPA (ops/pallas/ipa_attention.py); pays off for
-    # long sequences (N >= ~512) where O(N^2) HBM traffic dominates
-    use_pallas_attention: bool = False
+    # fused Pallas flash-IPA (ops/pallas/ipa_attention.py): "auto" enables
+    # it on TPU when N >= pallas_min_n (the measured crossover where O(N^2)
+    # HBM traffic beats the decomposed jnp path; see docs/DESIGN.md bench
+    # table); True/False force it
+    use_pallas_attention: bool | str = "auto"
+    pallas_min_n: int = 512
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
 
 
@@ -139,6 +142,15 @@ def _coerce(value: str, current: Any) -> Any:
         return None
     if isinstance(current, bool):
         return value.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, str) and current.lower() in (
+        "auto", "true", "false", "1", "0", "yes", "no", "on", "off"
+    ):
+        # tri-state bool|str fields (e.g. use_pallas_attention="auto")
+        if value.lower() in ("1", "true", "yes", "on"):
+            return True
+        if value.lower() in ("0", "false", "no", "off"):
+            return False
+        return value
     if current is None:
         for cast in (int, float):
             try:

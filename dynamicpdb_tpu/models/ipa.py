@@ -68,7 +68,20 @@ class InvariantPointAttention(nn.Module):
         ) * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
         c_qk = math.sqrt(1.0 / (3 * C))
 
-        if c.use_pallas_attention:
+        use_pallas = c.use_pallas_attention
+        if isinstance(use_pallas, str) and use_pallas.lower() != "auto":
+            # CLI overrides arrive as strings ("true"/"false")
+            use_pallas = use_pallas.lower() in ("1", "true", "yes", "on")
+        if use_pallas == "auto":
+            # crossover: below pallas_min_n the decomposed jnp path is
+            # already MXU-bound; above it the kernel's O(blk) VMEM tiling
+            # wins (bench table in docs/DESIGN.md). Pallas needs a real TPU
+            # (or interpret mode).
+            import jax
+
+            on_tpu = jax.default_backend() == "tpu" or c.pallas_interpret
+            use_pallas = on_tpu and N >= c.pallas_min_n and N % 128 == 0
+        if use_pallas:
             from dynamicpdb_tpu.ops.pallas.ipa_attention import ipa_attention
 
             o, o_pt_global, o_pair = ipa_attention(

@@ -51,6 +51,7 @@ def _ipa_attn_kernel(
     o_ref,        # [1, 1, blk_q, C]
     opt_ref,      # [1, 1, blk_q, P3v]
     opair_ref,    # [1, 1, blk_q, Dz]
+    lse_ref,      # [1, 1, blk_q, 1] log-sum-exp rows (saved for backward)
     m_scr,        # [blk_q, 1] running max
     l_scr,        # [blk_q, 1] running denom
     acco_scr,     # [blk_q, C]
@@ -116,6 +117,7 @@ def _ipa_attn_kernel(
         o_ref[0, 0] = (acco_scr[:] * inv_l).astype(o_ref.dtype)
         opt_ref[0, 0] = (accpt_scr[:] * inv_l).astype(opt_ref.dtype)
         opair_ref[0, 0] = (accpair_scr[:] * inv_l).astype(opair_ref.dtype)
+        lse_ref[0, 0] = m_scr[:] + jnp.log(l_scr[:])
 
 
 def fused_ipa_attention(
@@ -133,8 +135,11 @@ def fused_ipa_attention(
     blk_q: int = 64,
     blk_k: int = 128,
     interpret: bool = False,
+    return_lse: bool = False,
 ):
-    """Returns (o [F,N,H,C], o_pt [F,N,H,Pv,3], o_pair [F,N,H,Dz])."""
+    """Returns (o [F,N,H,C], o_pt [F,N,H,Pv,3], o_pair [F,N,H,Dz])
+    (+ lse [F,H,N] when return_lse — the softmax row statistics the fused
+    backward reuses to renormalize recomputed tiles)."""
     F, N, H, C = q.shape
     Pq, Pv = q_pts.shape[-2], v_pts.shape[-2]
     Dz = pair_z.shape[-1]
@@ -157,8 +162,9 @@ def fused_ipa_attention(
         jax.ShapeDtypeStruct((F, H, N, C), q.dtype),
         jax.ShapeDtypeStruct((F, H, N, Pv * 3), q.dtype),
         jax.ShapeDtypeStruct((F, H, N, Dz), q.dtype),
+        jax.ShapeDtypeStruct((F, H, N, 1), jnp.float32),
     )
-    o, o_pt, o_pair = pl.pallas_call(
+    o, o_pt, o_pair, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -178,6 +184,7 @@ def fused_ipa_attention(
             pl.BlockSpec((1, 1, blk_q, C), lambda f, h, i, j: (f, h, i, 0)),
             pl.BlockSpec((1, 1, blk_q, Pv * 3), lambda f, h, i, j: (f, h, i, 0)),
             pl.BlockSpec((1, 1, blk_q, Dz), lambda f, h, i, j: (f, h, i, 0)),
+            pl.BlockSpec((1, 1, blk_q, 1), lambda f, h, i, j: (f, h, i, 0)),
         ),
         out_shape=out_shapes,
         scratch_shapes=[
@@ -193,16 +200,309 @@ def fused_ipa_attention(
     def unfh(x, last):  # [F, H, N, D] -> [F, N, H, *last]
         return x.transpose(0, 2, 1, 3).reshape((F, N, H) + last)
 
-    return (
+    outs = (
         unfh(o, (C,)),
         unfh(o_pt, (Pv, 3)),
         unfh(o_pair, (Dz,)),
     )
+    return outs + (lse[..., 0],) if return_lse else outs
 
 
 # ---------------------------------------------------------------------------
-# differentiable wrapper: kernel forward, dense-math backward
+# fused backward: three flash-style kernels, no [F, H, N, N] tensor ever
+# materialized in HBM
 # ---------------------------------------------------------------------------
+#
+# With a = softmax(logits) recomputed per tile from the saved row LSE
+# (a = exp(logits - lse)), the chain rule gives
+#   dS_ij = g_o.v_j + g_opt.vp_j + g_opair_i . pz_ij
+#   D_i   = g_o.o_i + g_opt.opt_i + g_opair_i . opair_i
+#   dl_ij = a_ij (dS_ij - D_i)                    (softmax backward)
+#   dq    = c_qk dl k            dk  = c_qk dl^T q
+#   dqp_i = -w_h (rowsum(dl) qp_i - dl kp)        (and symmetrically dkp)
+#   dv    = a^T g_o              dvp = a^T g_opt
+#   dw_h  = -0.5 sum dist dl     dbias = c_b sum_f dl
+#   dpz_ijd = sum_{f,h} a_ij g_opair[f,h,i,d]
+#
+# Kernel layout: dq-side quantities are indexed by (f, h, i) so kernel A runs
+# grid (F, H, iB, jB) accumulating over j; dk/dv-side by (f, h, j) so kernel
+# B runs (F, H, jB, iB); dbias/dpz are (i, j)-indexed reductions over f (and
+# h), so kernel C runs (iB, jB, H, F) with f innermost — output tiles are
+# revisited consecutively, which makes in-place accumulation legal.
+
+
+def _tile_a_dl(q, k, qp, kp, v, vp, pz, bias, qmask, kmask, hw, lse, dvec,
+               g_o, g_opt, g_pair, *, c_qk, c_b, inf):
+    """Recompute one (blk_q x blk_k) tile's a and dl (shared by A/B/C)."""
+    logits = c_qk * jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    logits += c_b * bias
+    qp_sq = jnp.sum(qp * qp, axis=-1, keepdims=True)
+    kp_sq = jnp.sum(kp * kp, axis=-1)
+    cross = jnp.dot(qp, kp.T, preferred_element_type=jnp.float32)
+    dist = qp_sq + kp_sq[None, :] - 2.0 * cross
+    logits += (-0.5) * hw * dist
+    logits += inf * (qmask * kmask[None, :] - 1.0)
+    a = jnp.exp(logits - lse)
+    ds = jnp.dot(g_o, v.T, preferred_element_type=jnp.float32)
+    ds += jnp.dot(g_opt, vp.T, preferred_element_type=jnp.float32)
+    ds += jnp.sum(g_pair[:, None, :] * pz, axis=-1)
+    dl = a * (ds - dvec)
+    return a, dl, dist
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, qp_ref, kp_ref, vp_ref, bias_ref,
+                   pairz_ref, qmask_ref, kmask_ref, hw_ref, lse_ref, d_ref,
+                   go_ref, gopt_ref, gpair_ref,
+                   dq_ref, dqp_ref, dhw_ref,
+                   accdq_scr, accrow_scr, accdlkp_scr, accdhw_scr,
+                   *, c_qk, c_b, inf):
+    kb = pl.program_id(3)
+    num_kb = pl.num_programs(3)
+
+    @pl.when(kb == 0)
+    def _init():
+        accdq_scr[:] = jnp.zeros_like(accdq_scr)
+        accrow_scr[:] = jnp.zeros_like(accrow_scr)
+        accdlkp_scr[:] = jnp.zeros_like(accdlkp_scr)
+        accdhw_scr[:] = jnp.zeros_like(accdhw_scr)
+
+    hw = hw_ref[pl.program_id(1), 0]
+    q, k, qp, kp = q_ref[0, 0], k_ref[0, 0], qp_ref[0, 0], kp_ref[0, 0]
+    a, dl, dist = _tile_a_dl(
+        q, k, qp, kp, v_ref[0, 0], vp_ref[0, 0], pairz_ref[:], bias_ref[0],
+        qmask_ref[0], kmask_ref[0, :, 0], hw, lse_ref[0, 0],
+        d_ref[0, 0], go_ref[0, 0], gopt_ref[0, 0], gpair_ref[0, 0],
+        c_qk=c_qk, c_b=c_b, inf=inf,
+    )
+    accdq_scr[:] += c_qk * jnp.dot(dl, k, preferred_element_type=jnp.float32)
+    accrow_scr[:] += jnp.sum(dl, axis=-1, keepdims=True)
+    accdlkp_scr[:] += jnp.dot(dl, kp, preferred_element_type=jnp.float32)
+    accdhw_scr[:] += jnp.sum(-0.5 * dist * dl, axis=-1, keepdims=True)
+
+    @pl.when(kb == num_kb - 1)
+    def _finalize():
+        dq_ref[0, 0] = accdq_scr[:].astype(dq_ref.dtype)
+        dqp_ref[0, 0] = (
+            -hw * (accrow_scr[:] * qp_ref[0, 0] - accdlkp_scr[:])
+        ).astype(dqp_ref.dtype)
+        dhw_ref[0, 0] = accdhw_scr[:]
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, qp_ref, kp_ref, vp_ref, bias_ref,
+                    pairz_ref, qmask_ref, kmask_ref, hw_ref, lse_ref, d_ref,
+                    go_ref, gopt_ref, gpair_ref,
+                    dk_ref, dkp_ref, dv_ref, dvp_ref,
+                    accdk_scr, acccol_scr, accdlqp_scr, accdv_scr, accdvp_scr,
+                    *, c_qk, c_b, inf):
+    ib = pl.program_id(3)
+    num_ib = pl.num_programs(3)
+
+    @pl.when(ib == 0)
+    def _init():
+        accdk_scr[:] = jnp.zeros_like(accdk_scr)
+        acccol_scr[:] = jnp.zeros_like(acccol_scr)
+        accdlqp_scr[:] = jnp.zeros_like(accdlqp_scr)
+        accdv_scr[:] = jnp.zeros_like(accdv_scr)
+        accdvp_scr[:] = jnp.zeros_like(accdvp_scr)
+
+    hw = hw_ref[pl.program_id(1), 0]
+    q, k, qp, kp = q_ref[0, 0], k_ref[0, 0], qp_ref[0, 0], kp_ref[0, 0]
+    a, dl, _ = _tile_a_dl(
+        q, k, qp, kp, v_ref[0, 0], vp_ref[0, 0], pairz_ref[:], bias_ref[0],
+        qmask_ref[0], kmask_ref[0, :, 0], hw, lse_ref[0, 0],
+        d_ref[0, 0], go_ref[0, 0], gopt_ref[0, 0], gpair_ref[0, 0],
+        c_qk=c_qk, c_b=c_b, inf=inf,
+    )
+    accdk_scr[:] += c_qk * jnp.dot(dl.T, q, preferred_element_type=jnp.float32)
+    acccol_scr[:] += jnp.sum(dl, axis=0)[:, None]
+    accdlqp_scr[:] += jnp.dot(dl.T, qp, preferred_element_type=jnp.float32)
+    accdv_scr[:] += jnp.dot(a.T, go_ref[0, 0], preferred_element_type=jnp.float32)
+    accdvp_scr[:] += jnp.dot(a.T, gopt_ref[0, 0], preferred_element_type=jnp.float32)
+
+    @pl.when(ib == num_ib - 1)
+    def _finalize():
+        dk_ref[0, 0] = accdk_scr[:].astype(dk_ref.dtype)
+        dkp_ref[0, 0] = (
+            -hw * (acccol_scr[:] * kp_ref[0, 0] - accdlqp_scr[:])
+        ).astype(dkp_ref.dtype)
+        dv_ref[0, 0] = accdv_scr[:].astype(dv_ref.dtype)
+        dvp_ref[0, 0] = accdvp_scr[:].astype(dvp_ref.dtype)
+
+
+def _bwd_pair_kernel(q_ref, k_ref, v_ref, qp_ref, kp_ref, vp_ref, bias_ref,
+                     pairz_ref, qmask_ref, kmask_ref, hw_ref, lse_ref, d_ref,
+                     go_ref, gopt_ref, gpair_ref,
+                     dbias_ref, dpz_ref,
+                     *, c_qk, c_b, inf):
+    # grid (iB, jB, H, F): f innermost — dbias tile (h, i, j) accumulates
+    # over f, dpz tile (i, j) over (h, f); both revisits are consecutive
+    hb, fb = pl.program_id(2), pl.program_id(3)
+
+    @pl.when(fb == 0)
+    def _init_bias():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    @pl.when((fb == 0) & (hb == 0))
+    def _init_pz():
+        dpz_ref[:] = jnp.zeros_like(dpz_ref[:])
+
+    hw = hw_ref[hb, 0]
+    q, k, qp, kp = q_ref[0, 0], k_ref[0, 0], qp_ref[0, 0], kp_ref[0, 0]
+    a, dl, _ = _tile_a_dl(
+        q, k, qp, kp, v_ref[0, 0], vp_ref[0, 0], pairz_ref[:], bias_ref[0],
+        qmask_ref[0], kmask_ref[0, :, 0], hw, lse_ref[0, 0],
+        d_ref[0, 0], go_ref[0, 0], gopt_ref[0, 0], gpair_ref[0, 0],
+        c_qk=c_qk, c_b=c_b, inf=inf,
+    )
+    dbias_ref[0] += (c_b * dl).astype(dbias_ref.dtype)
+    dpz_ref[:] += (
+        a[:, :, None] * gpair_ref[0, 0][:, None, :]
+    ).astype(dpz_ref.dtype)
+
+
+def _fused_ipa_backward(qf, kf, vf, qpf, kpf, vpf, bias_f, pair_z, maskf,
+                        hw, lse, dvec, go, gopt, gpair, *,
+                        c_qk, c_b, inf, blk_q, blk_k, interpret):
+    """All-Pallas backward. fh-layout inputs ([F, H, N, D]); returns grads in
+    the same layouts."""
+    F, H, N, C = qf.shape
+    P3q, P3v = qpf.shape[-1], vpf.shape[-1]
+    Dz = pair_z.shape[-1]
+
+    qspec = lambda D: pl.BlockSpec((1, 1, blk_q, D), lambda f, h, i, j: (f, h, i, 0))
+    kspec = lambda D: pl.BlockSpec((1, 1, blk_k, D), lambda f, h, i, j: (f, h, j, 0))
+    common = dict(
+        bias=pl.BlockSpec((1, blk_q, blk_k), lambda f, h, i, j: (h, i, j)),
+        pz=pl.BlockSpec((blk_q, blk_k, Dz), lambda f, h, i, j: (i, j, 0)),
+        qmask=pl.BlockSpec((1, blk_q, 1), lambda f, h, i, j: (f, i, 0)),
+        kmask=pl.BlockSpec((1, blk_k, 1), lambda f, h, i, j: (f, j, 0)),
+        hw=pl.BlockSpec(memory_space=pltpu.SMEM),
+        row=pl.BlockSpec((1, 1, blk_q, 1), lambda f, h, i, j: (f, h, i, 0)),
+    )
+    inputs = (qf, kf, vf, qpf, kpf, vpf, bias_f, pair_z, maskf, maskf, hw,
+              lse, dvec, go, gopt, gpair)
+
+    def in_specs(imap_q, imap_k, imap_row, imap_bias, imap_pz, imap_mask_q,
+                 imap_mask_k):
+        return [
+            pl.BlockSpec((1, 1, blk_q, C), imap_q),
+            pl.BlockSpec((1, 1, blk_k, C), imap_k),
+            pl.BlockSpec((1, 1, blk_k, C), imap_k),
+            pl.BlockSpec((1, 1, blk_q, P3q), imap_q),
+            pl.BlockSpec((1, 1, blk_k, P3q), imap_k),
+            pl.BlockSpec((1, 1, blk_k, P3v), imap_k),
+            pl.BlockSpec((1, blk_q, blk_k), imap_bias),
+            pl.BlockSpec((blk_q, blk_k, Dz), imap_pz),
+            pl.BlockSpec((1, blk_q, 1), imap_mask_q),
+            pl.BlockSpec((1, blk_k, 1), imap_mask_k),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, blk_q, 1), imap_row),
+            pl.BlockSpec((1, 1, blk_q, 1), imap_row),
+            pl.BlockSpec((1, 1, blk_q, C), imap_q),
+            pl.BlockSpec((1, 1, blk_q, P3v), imap_q),
+            pl.BlockSpec((1, 1, blk_q, Dz), imap_q),
+        ]
+
+    # --- kernel A: grid (F, H, iB, jB), j innermost ------------------------
+    dq, dqp, dhw_rows = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, c_qk=c_qk, c_b=c_b, inf=inf),
+        grid=(F, H, N // blk_q, N // blk_k),
+        in_specs=in_specs(
+            lambda f, h, i, j: (f, h, i, 0),
+            lambda f, h, i, j: (f, h, j, 0),
+            lambda f, h, i, j: (f, h, i, 0),
+            lambda f, h, i, j: (h, i, j),
+            lambda f, h, i, j: (i, j, 0),
+            lambda f, h, i, j: (f, i, 0),
+            lambda f, h, i, j: (f, j, 0),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, 1, blk_q, C), lambda f, h, i, j: (f, h, i, 0)),
+            pl.BlockSpec((1, 1, blk_q, P3q), lambda f, h, i, j: (f, h, i, 0)),
+            pl.BlockSpec((1, 1, blk_q, 1), lambda f, h, i, j: (f, h, i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, H, N, C), qf.dtype),
+            jax.ShapeDtypeStruct((F, H, N, P3q), qpf.dtype),
+            jax.ShapeDtypeStruct((F, H, N, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, C), jnp.float32),
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+            pltpu.VMEM((blk_q, P3q), jnp.float32),
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+
+    # --- kernel B: grid (F, H, jB, iB), i innermost ------------------------
+    dk, dkp, dv, dvp = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, c_qk=c_qk, c_b=c_b, inf=inf),
+        grid=(F, H, N // blk_k, N // blk_q),
+        in_specs=in_specs(
+            lambda f, h, j, i: (f, h, i, 0),
+            lambda f, h, j, i: (f, h, j, 0),
+            lambda f, h, j, i: (f, h, i, 0),
+            lambda f, h, j, i: (h, i, j),
+            lambda f, h, j, i: (i, j, 0),
+            lambda f, h, j, i: (f, i, 0),
+            lambda f, h, j, i: (f, j, 0),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, 1, blk_k, C), lambda f, h, j, i: (f, h, j, 0)),
+            pl.BlockSpec((1, 1, blk_k, P3q), lambda f, h, j, i: (f, h, j, 0)),
+            pl.BlockSpec((1, 1, blk_k, C), lambda f, h, j, i: (f, h, j, 0)),
+            pl.BlockSpec((1, 1, blk_k, P3v), lambda f, h, j, i: (f, h, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((F, H, N, C), kf.dtype),
+            jax.ShapeDtypeStruct((F, H, N, P3q), kpf.dtype),
+            jax.ShapeDtypeStruct((F, H, N, C), vf.dtype),
+            jax.ShapeDtypeStruct((F, H, N, P3v), vpf.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((blk_k, C), jnp.float32),
+            pltpu.VMEM((blk_k, 1), jnp.float32),
+            pltpu.VMEM((blk_k, P3q), jnp.float32),
+            pltpu.VMEM((blk_k, C), jnp.float32),
+            pltpu.VMEM((blk_k, P3v), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+
+    # --- kernel C: grid (iB, jB, H, F), f innermost ------------------------
+    dbias_f, dpz = pl.pallas_call(
+        functools.partial(_bwd_pair_kernel, c_qk=c_qk, c_b=c_b, inf=inf),
+        grid=(N // blk_q, N // blk_k, H, F),
+        in_specs=in_specs(
+            lambda i, j, h, f: (f, h, i, 0),
+            lambda i, j, h, f: (f, h, j, 0),
+            lambda i, j, h, f: (f, h, i, 0),
+            lambda i, j, h, f: (h, i, j),
+            lambda i, j, h, f: (i, j, 0),
+            lambda i, j, h, f: (f, i, 0),
+            lambda i, j, h, f: (f, j, 0),
+        ),
+        out_specs=(
+            pl.BlockSpec((1, blk_q, blk_k), lambda i, j, h, f: (h, i, j)),
+            pl.BlockSpec((blk_q, blk_k, Dz), lambda i, j, h, f: (i, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((H, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((N, N, Dz), pair_z.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # the dpz tile + double-buffered inputs need slightly more than
+            # the 16M default scoped-vmem at flagship dims (measured 16.12M)
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ) if not interpret else None,
+        interpret=interpret,
+    )(*inputs)
+
+    dhw = jnp.sum(dhw_rows[..., 0], axis=(0, 2))  # [H]
+    return dq, dk, dv, dqp, dkp, dvp, dbias_f, dpz, dhw
+
+
 def _dense_reference(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
                      head_weights, c_qk, c_b, inf):
     """Straight-line jnp computation with identical semantics (used for the
@@ -228,14 +528,17 @@ def _dense_reference(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15))
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14, 15, 16)
+)
 def ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
                   head_weights, c_qk, c_b=math.sqrt(1.0 / 3), inf=1e5,
-                  blk_q=64, blk_k=128, interpret=False):
-    """Differentiable fused IPA attention: Pallas kernel on the forward pass,
-    dense-recompute VJP on the backward (the flash forward is the inference
-    win; training pays one dense recompute, still cheaper than materializing
-    the reference's displacement tensors)."""
+                  blk_q=64, blk_k=128, interpret=False, fused_bwd=True):
+    """Differentiable fused IPA attention: Pallas kernel forward AND a
+    flash-style three-kernel Pallas backward (attention recomputed per tile
+    from the saved row LSE) — training memory stays O(blk), never
+    O(F·H·N²). fused_bwd=False falls back to a dense-recompute VJP
+    (debug/verification path)."""
     return fused_ipa_attention(
         q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask, head_weights,
         c_qk=c_qk, c_b=c_b, inf=inf, blk_q=blk_q, blk_k=blk_k,
@@ -244,21 +547,71 @@ def ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
 
 
 def _ipa_attention_fwd(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
-                       head_weights, c_qk, c_b, inf, blk_q, blk_k, interpret):
-    out = fused_ipa_attention(
+                       head_weights, c_qk, c_b, inf, blk_q, blk_k, interpret,
+                       fused_bwd):
+    o, o_pt, o_pair, lse = fused_ipa_attention(
         q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask, head_weights,
         c_qk=c_qk, c_b=c_b, inf=inf, blk_q=blk_q, blk_k=blk_k,
+        interpret=interpret, return_lse=True,
+    )
+    res = (q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask, head_weights,
+           lse, o, o_pt, o_pair)
+    return (o, o_pt, o_pair), res
+
+
+def _ipa_attention_bwd(c_qk, c_b, inf, blk_q, blk_k, interpret, fused_bwd,
+                       res, g):
+    (q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask, head_weights,
+     lse, o, o_pt, o_pair) = res
+    if not fused_bwd:
+        _, vjp = jax.vjp(
+            lambda *args: _dense_reference(*args, c_qk, c_b, inf),
+            q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask, head_weights,
+        )
+        return vjp(g)
+
+    g_o, g_opt, g_opair = g
+    F, N, H, C = q.shape
+    Pq, Pv = q_pts.shape[-2], v_pts.shape[-2]
+    Dz = pair_z.shape[-1]
+    bq, bk = min(blk_q, N), min(blk_k, N)
+
+    def fh(x):
+        return x.transpose(0, 2, 1, *range(3, x.ndim)).reshape(F, H, N, -1)
+
+    go_f, gopt_f, gpair_f = fh(g_o), fh(g_opt), fh(g_opair)
+    # D_i = <g, out>_i per (f, h, i) — the softmax-backward row constant
+    dvec = (
+        jnp.sum(go_f * fh(o), -1)
+        + jnp.sum(gopt_f * fh(o_pt), -1)
+        + jnp.sum(gpair_f * fh(o_pair), -1)
+    )
+
+    dq, dk, dv, dqp, dkp, dvp, dbias_f, dpz, dhw = _fused_ipa_backward(
+        fh(q), fh(k), fh(v), fh(q_pts), fh(k_pts), fh(v_pts),
+        jnp.transpose(bias, (2, 0, 1)).astype(jnp.float32), pair_z,
+        mask.reshape(F, N, 1).astype(jnp.float32),
+        head_weights.reshape(H, 1).astype(jnp.float32),
+        lse[..., None], dvec[..., None], go_f, gopt_f, gpair_f,
+        c_qk=c_qk, c_b=c_b, inf=inf, blk_q=bq, blk_k=bk,
         interpret=interpret,
     )
-    return out, (q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask, head_weights)
 
+    def unfh(x, last):
+        return x.transpose(0, 2, 1, 3).reshape((F, N, H) + last)
 
-def _ipa_attention_bwd(c_qk, c_b, inf, blk_q, blk_k, interpret, res, g):
-    primals = res
-    _, vjp = jax.vjp(
-        lambda *args: _dense_reference(*args, c_qk, c_b, inf), *primals
+    return (
+        unfh(dq, (C,)).astype(q.dtype),
+        unfh(dk, (C,)).astype(k.dtype),
+        unfh(dv, (C,)).astype(v.dtype),
+        unfh(dqp, (Pq, 3)).astype(q_pts.dtype),
+        unfh(dkp, (Pq, 3)).astype(k_pts.dtype),
+        unfh(dvp, (Pv, 3)).astype(v_pts.dtype),
+        jnp.transpose(dbias_f, (1, 2, 0)).astype(bias.dtype),
+        dpz.astype(pair_z.dtype),
+        jnp.zeros_like(mask),
+        dhw.astype(head_weights.dtype),
     )
-    return vjp(g)
 
 
 ipa_attention.defvjp(_ipa_attention_fwd, _ipa_attention_bwd)

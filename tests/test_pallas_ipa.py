@@ -101,3 +101,44 @@ def test_model_with_pallas_attention_matches_jnp():
     np.testing.assert_allclose(
         np.asarray(out_pl["angles"]), np.asarray(out_jnp["angles"]), atol=1e-4
     )
+
+
+def test_fused_backward_matches_dense_grads():
+    """The three-kernel flash backward reproduces autodiff-of-dense grads
+    for every differentiable input (interpret mode)."""
+    from dynamicpdb_tpu.ops.pallas.ipa_attention import ipa_attention
+
+    d, c_qk = _setup(F=2, N=16, H=2, C=8, Pq=4, Pv=6, Dz=4, masked=3)
+    args = (d["q"], d["k"], d["v"], d["q_pts"], d["k_pts"], d["v_pts"],
+            d["bias"], d["pair_z"], d["mask"], d["head_weights"])
+    # zero cotangents on masked rows: their outputs are padding means whose
+    # gradients hit float32 cancellation of the +-1e5 mask bias (~0.4% —
+    # measured identical pattern in the dense path); real rows match 1e-6
+    row_m = d["mask"][:, :, None, None]
+    w = [jnp.asarray(RNG.normal(size=x.shape), jnp.float32)
+         * row_m.reshape(row_m.shape[:2] + (1,) * (x.ndim - 2))
+         for x in _reference(d, c_qk)]
+
+    def loss_fused(*a):
+        o, o_pt, o_pair = ipa_attention(
+            *a, c_qk, math.sqrt(1 / 3), 1e5, 8, 8, True, True
+        )
+        return (jnp.sum(o * w[0]) + jnp.sum(o_pt * w[1])
+                + jnp.sum(o_pair * w[2]))
+
+    def loss_dense(*a):
+        names = ["q", "k", "v", "q_pts", "k_pts", "v_pts", "bias", "pair_z",
+                 "mask", "head_weights"]
+        o, o_pt, o_pair = _reference(dict(zip(names, a)), c_qk)
+        return (jnp.sum(o * w[0]) + jnp.sum(o_pt * w[1])
+                + jnp.sum(o_pair * w[2]))
+
+    argnums = (0, 1, 2, 3, 4, 5, 6, 7, 9)  # everything except mask
+    g_fused = jax.grad(loss_fused, argnums=argnums)(*args)
+    g_dense = jax.grad(loss_dense, argnums=argnums)(*args)
+    names = ["q", "k", "v", "q_pts", "k_pts", "v_pts", "bias", "pair_z",
+             "head_weights"]
+    for name, gf, gd in zip(names, g_fused, g_dense):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gd), atol=2e-4, err_msg=name
+        )

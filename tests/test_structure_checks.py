@@ -36,18 +36,26 @@ def test_tm_score_identity_and_rigid_motion():
     assert sc.tm_score(scrambled, ca) < 0.4
 
 
-def test_backbone_bond_violations_on_reasonable_geometry():
+def test_violation_metrics_finite_on_reasonable_geometry():
+    from dynamicpdb_tpu.analysis.violations import compute_violation_metrics
+
     w = make_window(n_res=20, frame_time=1, seed=1)
-    out = sc.backbone_bond_violations(w["atom37"][0], w["atom37_mask"])
-    assert set(out) >= {"bonds_c_n_loss_mean", "angles_ca_c_n_loss_mean"}
-    assert np.isfinite(list(out.values())).all()
+    out = compute_violation_metrics(
+        w["atom37"][0], w["atom37_mask"], w["aatype"].astype(np.int64),
+        np.arange(20, dtype=np.int64),
+    )
+    for k in ("violations_between_residue_bond",
+              "violations_between_residue_clash",
+              "violations_within_residue", "violations_per_residue"):
+        assert 0.0 <= out[k] <= 1.0
 
 
 def test_protein_metrics_aggregate():
     w = make_window(n_res=16, frame_time=1, seed=2)
-    m = sc.protein_metrics(w["atom37"][0], w["atom37_mask"], w["atom37"][0])
+    m = sc.protein_metrics(w["atom37"][0], w["atom37_mask"], w["atom37"][0],
+                           aatype=w["aatype"])
     for k in (
-        "ca_ca_bond_dev", "clashes_mean_loss", "radius_of_gyration",
+        "ca_ca_bond_dev", "violations_per_residue", "radius_of_gyration",
         "helix_percent", "tm_score",
     ):
         assert k in m and np.isfinite(m[k])

@@ -23,6 +23,10 @@ RC_PATH = (
     else "/root/reference/openfold/np/residue_constants.py"
 )
 
+# make `openfold.resources` importable (stereo_chemical_props.txt used by
+# make_atom14_dists_bounds)
+sys.path.insert(0, "/root/reference")
+
 spec = importlib.util.spec_from_file_location("af2_rc", RC_PATH)
 rc = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(rc)
@@ -115,6 +119,33 @@ for i, r1 in enumerate(RESTYPES):
             a14_mask[i, j] = 1.0
 out["restype_atom14_to_atom37"] = a14_to_a37
 assert np.allclose(a14_mask, out["restype_atom14_mask"])
+
+# --- structural-violation constants (AF2 Suppl. 1.9.11 / openfold
+# loss.py:714-1105): van-der-Waals radii per atom37 type, peptide-bond
+# geometry stats, and the within-residue distance bounds at the standard
+# (overlap 1.5, tolerance 12 sigma) configuration -------------------------
+out["atom37_vdw_radius"] = np.asarray(
+    [rc.van_der_waals_radius[name[0]] for name in ATOM_TYPES], np.float32
+)
+out["violation_scalars"] = np.asarray(
+    [
+        rc.between_res_bond_length_c_n[0],
+        rc.between_res_bond_length_c_n[1],
+        rc.between_res_bond_length_stddev_c_n[0],
+        rc.between_res_bond_length_stddev_c_n[1],
+        rc.between_res_cos_angles_ca_c_n[0],
+        rc.between_res_cos_angles_ca_c_n[1],
+        rc.between_res_cos_angles_c_n_ca[0],
+        rc.between_res_cos_angles_c_n_ca[1],
+        rc.ca_ca,
+    ],
+    np.float32,
+)
+bounds = rc.make_atom14_dists_bounds(
+    overlap_tolerance=1.5, bond_length_tolerance_factor=12
+)
+out["atom14_dists_lower_bound"] = np.asarray(bounds["lower_bound"], np.float32)
+out["atom14_dists_upper_bound"] = np.asarray(bounds["upper_bound"], np.float32)
 
 np.savez_compressed("dynamicpdb_tpu/chem/tables.npz", **out)
 print("wrote dynamicpdb_tpu/chem/tables.npz:")
