@@ -55,24 +55,48 @@ def _fit_transform(src: np.ndarray, dst: np.ndarray):
 
 
 def tm_score(pred_ca: np.ndarray, gt_ca: np.ndarray, n_iter: int = 20):
-    """Zhang-Skolnick TM-score, normalized by len(gt): superpose on a
-    converging inlier set (d < 2*d0), score all residues with
+    """TM-score (Zhang & Skolnick 2004), normalized by len(gt), full
+    multi-seed search as in the published TM-score program: seed
+    superpositions from gapless fragments of length L, L/2, L/4, L/8 at
+    multiple offsets, refine each by iterating 'superpose on residues with
+    d < d_cut' with an escalating cutoff, and keep the maximum
     mean 1 / (1 + (d/d0)^2)."""
     L = len(gt_ca)
     d0 = max(1.24 * max(L - 15, 1) ** (1.0 / 3) - 1.8, 0.5)
-    idx = np.arange(L)
-    for _ in range(n_iter):
-        R, t = _fit_transform(pred_ca[idx], gt_ca[idx])
-        d = np.linalg.norm(pred_ca @ R + t - gt_ca, axis=-1)
-        new_idx = np.where(d < 2 * d0)[0]
-        if len(new_idx) < 4 or (
-            len(new_idx) == len(idx) and np.all(new_idx == idx)
-        ):
+
+    def score_from(idx):
+        best_local = 0.0
+        for d_cut in (d0, d0 + 1.0, d0 + 2.0):
+            sel = idx
+            for _ in range(n_iter):
+                if len(sel) < 3:
+                    break
+                R, t = _fit_transform(pred_ca[sel], gt_ca[sel])
+                d = np.linalg.norm(pred_ca @ R + t - gt_ca, axis=-1)
+                best_local = max(
+                    best_local, float(np.mean(1.0 / (1.0 + (d / d0) ** 2)))
+                )
+                new_sel = np.where(d < d_cut)[0]
+                if len(new_sel) >= 3 and (
+                    len(new_sel) == len(sel) and np.all(new_sel == sel)
+                ):
+                    break
+                if len(new_sel) >= 3:
+                    sel = new_sel
+                else:
+                    d_cut += 0.5  # too few inliers: widen (TM-score program)
+        return best_local
+
+    best = 0.0
+    frag = L
+    while frag >= max(4, L // 8):
+        step = max(frag // 2, 1)
+        for start in range(0, L - frag + 1, step):
+            best = max(best, score_from(np.arange(start, start + frag)))
+        if frag == 4:
             break
-        idx = new_idx
-    R, t = _fit_transform(pred_ca[idx], gt_ca[idx])
-    d = np.linalg.norm(pred_ca @ R + t - gt_ca, axis=-1)
-    return float(np.mean(1.0 / (1.0 + (d / d0) ** 2)))
+        frag = max(frag // 2, 4)
+    return best
 
 
 # --- shape metrics -----------------------------------------------------------
@@ -82,23 +106,91 @@ def radius_of_gyration(atom37: np.ndarray, mask37: np.ndarray) -> float:
     return float(np.sqrt(np.mean(np.sum((flat - com) ** 2, -1))))
 
 
-def secondary_structure_fractions(atom37: np.ndarray) -> dict:
-    """DSSP-lite from C-alpha virtual dihedrals/distances: helix when the
-    i..i+3 CA distance ~5.3 A and chain turns consistently; strand when the
-    chain is extended (i..i+2 distance > 6.4 A)."""
-    ca = atom37[:, 1]
-    L = len(ca)
+def _ks_hbond_energy(atom37: np.ndarray) -> np.ndarray:
+    """Kabsch-Sander hydrogen-bond energies E[donor_i, acceptor_j] in
+    kcal/mol (DSSP, Kabsch & Sander 1983; the criterion mdtraj's DSSP uses).
+
+    Donor = backbone N-H of residue i (H placed on the N-H direction
+    opposite the previous residue's C=O); acceptor = C=O of residue j.
+    E = 0.084 * 332 * (1/r_ON + 1/r_CH - 1/r_OH - 1/r_CN).
+    """
+    n, ca, c, o = atom37[:, 0], atom37[:, 1], atom37[:, 2], atom37[:, 4]
+    L = len(atom37)
+    # amide H: along (N - C_prev) + (N - O_prev), the standard DSSP placement
+    h = n.copy()
+    co = c[:-1] - o[:-1]
+    co /= np.linalg.norm(co, axis=-1, keepdims=True) + 1e-9
+    h[1:] = n[1:] + co
+    has_h = np.ones(L, bool)
+    has_h[0] = False  # N-terminus has no defined amide H
+
+    def dist(a, b):
+        return np.linalg.norm(a[:, None] - b[None, :], axis=-1) + 1e-9
+
+    q1q2f = 0.084 * 332.0
+    E = q1q2f * (
+        1.0 / dist(n, o) + 1.0 / dist(h, c) - 1.0 / dist(h, o)
+        - 1.0 / dist(n, c)
+    )
+    E[~has_h, :] = 0.0
+    # no bond to self or sequence neighbors (|i-j| < 2), DSSP convention
+    idx = np.arange(L)
+    E[np.abs(idx[:, None] - idx[None, :]) < 2] = 0.0
+    return E
+
+
+def assign_secondary_structure(atom37: np.ndarray) -> np.ndarray:
+    """Simplified DSSP assignment ('H'/'E'/'C', the 3-class reduction
+    mdtraj.compute_dssp(simplified=True) reports): Kabsch-Sander H-bonds ->
+    n-turns -> helices (two consecutive 4/3/5-turns), and parallel/
+    antiparallel bridges -> strands."""
+    L = len(atom37)
     ss = np.full(L, "C", dtype=object)
-    if L >= 4:
-        d13 = np.linalg.norm(ca[3:] - ca[:-3], axis=-1)  # i to i+3
-        for i in range(L - 3):
-            if 4.5 < d13[i] < 6.0:
-                ss[i : i + 4] = "H"
-    if L >= 3:
-        d02 = np.linalg.norm(ca[2:] - ca[:-2], axis=-1)
-        for i in range(L - 2):
-            if d02[i] > 6.4 and ss[i] == "C":
-                ss[i : i + 3] = np.where(ss[i : i + 3] == "C", "E", ss[i : i + 3])
+    if L < 5:
+        return ss
+    E = _ks_hbond_energy(atom37)
+    hbond = E < -0.5  # [donor, acceptor]
+
+    # n-turns: acceptor i, donor i+n
+    def turn(nn):
+        t = np.zeros(L, bool)
+        t[: L - nn] = hbond[nn:, :][np.arange(L - nn), np.arange(L - nn)]
+        return t
+
+    t3, t4, t5 = turn(3), turn(4), turn(5)
+    helix = np.zeros(L, bool)
+    for t, nn in ((t4, 4), (t3, 3), (t5, 5)):
+        # helix at i..i+n-1 when turns start at i-1 AND i
+        for i in range(1, L - nn):
+            if t[i - 1] and t[i]:
+                helix[i : i + nn] = True
+
+    # bridges: parallel (Hb(i-1, j) and Hb(j, i+1)) or (Hb(j-1, i), Hb(i, j+1))
+    # antiparallel (Hb(i, j) and Hb(j, i)) or (Hb(i-1, j+1) and Hb(j-1, i+1))
+    # NOTE hbond[d, a] = donor d -> acceptor a; DSSP's Hb(i, j) means
+    # "CO of i accepts from NH of j", i.e. hbond[j, i].
+    Hb = hbond.T  # Hb[i, j]: CO(i) <- NH(j)
+    strand = np.zeros(L, bool)
+    for i in range(1, L - 1):
+        for j in range(i + 3, L - 1):
+            para = (Hb[i - 1, j] and Hb[j, i + 1]) or (
+                Hb[j - 1, i] and Hb[i, j + 1]
+            )
+            anti = (Hb[i, j] and Hb[j, i]) or (
+                Hb[i - 1, j + 1] and Hb[j - 1, i + 1]
+            )
+            if para or anti:
+                strand[i] = strand[j] = True
+
+    ss[strand] = "E"
+    ss[helix] = "H"  # helix wins ties (DSSP priority H > E)
+    return ss
+
+
+def secondary_structure_fractions(atom37: np.ndarray) -> dict:
+    """Helix/strand/coil fractions via the Kabsch-Sander criterion (the
+    reference reports mdtraj DSSP fractions, metrics.py:55-69)."""
+    ss = assign_secondary_structure(atom37)
     return {
         "helix_percent": float(np.mean(ss == "H")),
         "strand_percent": float(np.mean(ss == "E")),

@@ -62,15 +62,47 @@ def test_protein_metrics_aggregate():
     assert m["tm_score"] > 0.999  # self-comparison
 
 
-def test_ss_fractions_helix_vs_extended():
-    # synthetic helix generator should read mostly helix
+# secondary-structure validation lives in tests/test_dssp.py (ideal-geometry
+# constructs; the old CA-distance heuristic asserted DSSP-incorrect behavior)
+
+
+def test_tm_score_analytic_partial_match():
+    """k of L residues identical, rest displaced far: TM ~= k/L (each
+    matching residue scores 1, displaced ones ~0) — the multi-seed search
+    must find the matching fragment even though a global superposition
+    would be dominated by the displaced half."""
+    L, k = 64, 48
+    ca = RNG.normal(size=(L, 3)) * 6
+    pred = ca.copy()
+    pred[k:] += 300.0  # far away
+    s = sc.tm_score(pred, ca)
+    assert abs(s - k / L) < 0.03, s
+    # and the same with the mismatching part FIRST
+    pred2 = ca.copy()
+    pred2[: L - k] -= 300.0
+    s2 = sc.tm_score(pred2, ca)
+    assert abs(s2 - k / L) < 0.03, s2
+
+
+def test_tm_score_random_structures_score_low():
+    """Unrelated compact chains score ~0.1-0.3 (Zhang & Skolnick: random
+    pairs average ~0.17 regardless of length)."""
     from dynamicpdb_tpu.data.synthetic import helix_backbone
 
-    helix37 = np.zeros((30, 37, 3))
-    helix37[:, 1] = helix_backbone(30)
-    f = sc.secondary_structure_fractions(helix37)
-    assert f["helix_percent"] > 0.5
-    ext37 = np.zeros((30, 37, 3))
-    ext37[:, 1] = _ideal_chain(30)
-    f2 = sc.secondary_structure_fractions(ext37)
-    assert f2["strand_percent"] > 0.5
+    scores = []
+    for seed in range(4):
+        rng = np.random.default_rng(seed)
+        a = np.cumsum(rng.normal(size=(80, 3)) * 2.2, axis=0)
+        b = np.cumsum(rng.normal(size=(80, 3), loc=0.01) * 2.2, axis=0)[::-1]
+        scores.append(sc.tm_score(a, b))
+    assert np.mean(scores) < 0.35
+    assert all(s > 0.05 for s in scores)
+
+
+def test_tm_score_monotone_in_noise():
+    ca = RNG.normal(size=(60, 3)) * 5
+    prev = 1.01
+    for sigma in (0.0, 0.5, 1.5, 4.0):
+        s = sc.tm_score(ca + RNG.normal(size=ca.shape) * sigma, ca)
+        assert s <= prev + 0.02
+        prev = s
