@@ -226,9 +226,25 @@ class StaticPdbDataset:
         return len(self.pdb_paths)
 
     def get_window(self, idx: int, rng=None) -> dict:
-        from dynamicpdb_tpu.analysis.pdb_io import read_pdb
+        path = self.pdb_paths[idx]
+        if path.endswith(".npz"):
+            # preprocessed chain (preprocess/mmcif.process_mmcif_dir output)
+            with np.load(path) as z:
+                atom37 = np.asarray(z["atom37"], np.float32)
+                mask = np.asarray(z["atom37_mask"], np.float32)
+                aatype = np.asarray(z["aatype"], np.int32)
+                residue_index = np.asarray(z["residue_index"], np.int32)
+        elif path.endswith(".cif") or path.endswith(".cif.gz"):
+            from dynamicpdb_tpu.preprocess.mmcif import parse_mmcif
 
-        atom37, mask, aatype, residue_index = read_pdb(self.pdb_paths[idx])
+            obj = parse_mmcif(path)
+            ch = next(iter(obj.chains.values()))
+            atom37, mask = ch.atom37, ch.atom37_mask
+            aatype, residue_index = ch.aatype, ch.residue_index
+        else:
+            from dynamicpdb_tpu.analysis.pdb_io import read_pdb
+
+            atom37, mask, aatype, residue_index = read_pdb(path)
         n = len(aatype)
         F = self.frame_time
         if self.embed_paths is not None:
