@@ -78,3 +78,95 @@ def plot_ca_trace(atom37: np.ndarray, out_path: str, stride: int = 1):
     fig.savefig(out_path)
     plt.close(fig)
     return out_path
+
+
+def plot_sample_grid(samples, out_path: str, true_bb: np.ndarray | None = None,
+                     cols: int = 4):
+    """Comparison grid of sampled backbones (plot_sample_grid equivalent,
+    reference plotting.py:199-222): one 3D CA trace per panel, optional
+    ground truth overlaid in grey on every panel.
+
+    samples: [S, N, 3] CA coords (or [S, N, 37, 3] atom37)."""
+    plt = _plt()
+    samples = np.asarray(samples)
+    if samples.ndim == 4:
+        samples = samples[:, :, 1]
+    S = len(samples)
+    rows = (S + cols - 1) // cols
+    fig = plt.figure(figsize=(3 * cols, 3 * rows), dpi=110)
+    for i, ca in enumerate(samples):
+        ax = fig.add_subplot(rows, cols, i + 1, projection="3d")
+        if true_bb is not None:
+            gt = np.asarray(true_bb)
+            gt = gt[:, 1] if gt.ndim == 3 else gt
+            ax.plot(gt[:, 0], gt[:, 1], gt[:, 2], color="grey", alpha=0.5,
+                    lw=1)
+        ax.plot(ca[:, 0], ca[:, 1], ca[:, 2], lw=1.5)
+        ax.set_title(f"sample {i}", fontsize=8)
+        ax.set_axis_off()
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def viz_frames(rigids, out_path: str, scale: float = 2.0, stride: int = 1,
+               title: str = ""):
+    """Rigid-frame glyphs: translation scatter + rotation axes as 3D quivers
+    (viz_frames/create_cones equivalent, reference plotting.py:62-99,
+    241-246). rigids: [N, 7] tensor-7 (quat + trans) or [F, N, 7]."""
+    from dynamicpdb_tpu.ops.so3 import quat_to_rotmat
+
+    plt = _plt()
+    rigids = np.asarray(rigids)
+    if rigids.ndim == 3:
+        rigids = rigids[-1]
+    rigids = rigids[::stride]
+    rot = np.asarray(quat_to_rotmat(rigids[:, :4]))
+    trans = rigids[:, 4:]
+    fig = plt.figure(figsize=(5, 5), dpi=120)
+    ax = fig.add_subplot(projection="3d")
+    ax.plot(trans[:, 0], trans[:, 1], trans[:, 2], color="grey", alpha=0.6)
+    colors = ("tab:red", "tab:green", "tab:blue")
+    for axis in range(3):
+        v = rot[:, :, axis] * scale
+        ax.quiver(trans[:, 0], trans[:, 1], trans[:, 2],
+                  v[:, 0], v[:, 1], v[:, 2], color=colors[axis],
+                  arrow_length_ratio=0.25, linewidth=0.8)
+    if title:
+        ax.set_title(title)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    fig.savefig(out_path)
+    plt.close(fig)
+    return out_path
+
+
+def write_traj_animation(atom37_traj, out_path: str, stride: int = 1,
+                         fps: int = 8):
+    """Animated CA-trace trajectory (write_traj equivalent, reference
+    plotting.py:274-319) saved as GIF via matplotlib.animation."""
+    import matplotlib.animation as animation
+
+    plt = _plt()
+    frames = np.asarray(atom37_traj)[::stride]
+    ca = frames[:, :, 1] if frames.ndim == 4 else frames
+    lim_lo = ca.reshape(-1, 3).min(0) - 2
+    lim_hi = ca.reshape(-1, 3).max(0) + 2
+    fig = plt.figure(figsize=(5, 5), dpi=100)
+    ax = fig.add_subplot(projection="3d")
+
+    def draw(i):
+        ax.clear()
+        ax.plot(ca[i, :, 0], ca[i, :, 1], ca[i, :, 2], lw=1.5)
+        ax.set_xlim(lim_lo[0], lim_hi[0])
+        ax.set_ylim(lim_lo[1], lim_hi[1])
+        ax.set_zlim(lim_lo[2], lim_hi[2])
+        ax.set_title(f"frame {i * stride}")
+        return []
+
+    anim = animation.FuncAnimation(fig, draw, frames=len(ca))
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    anim.save(out_path, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return out_path

@@ -46,3 +46,22 @@ def test_step_timer():
     t = StepTimer()
     t.tick(5)
     assert t.steps_per_sec > 0
+
+
+def test_plot_sample_grid_and_frames_and_animation(tmp_path):
+    from dynamicpdb_tpu.analysis import plotting as P
+    from dynamicpdb_tpu.data.synthetic import make_window
+
+    w = make_window(n_res=10, frame_time=4, seed=0)
+    p1 = P.plot_sample_grid(
+        w["atom37"], str(tmp_path / "grid.png"), true_bb=w["atom37"][0]
+    )
+    rigids = np.concatenate(
+        [np.tile([1.0, 0, 0, 0], (4, 10, 1)), w["atom37"][:, :, 1]], -1
+    )
+    p2 = P.viz_frames(rigids, str(tmp_path / "frames.png"), title="t")
+    p3 = P.write_traj_animation(w["atom37"], str(tmp_path / "traj.gif"))
+    import os
+
+    for p in (p1, p2, p3):
+        assert os.path.getsize(p) > 1000
