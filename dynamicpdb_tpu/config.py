@@ -66,12 +66,14 @@ class IPAConfig:
     coordinate_scaling: float = 1.0  # run_train.sh:24 (yaml default 0.1)
     temporal: bool = False  # run_train.sh:23
     temporal_position_max_len: int = 40
-    # fused Pallas flash-IPA (ops/pallas/ipa_attention.py): "auto" enables
-    # it on TPU when N >= pallas_min_n (the measured crossover where O(N^2)
-    # HBM traffic beats the decomposed jnp path; see docs/DESIGN.md bench
-    # table); True/False force it
-    use_pallas_attention: bool | str = "auto"
-    pallas_min_n: int = 512
+    # fused Pallas flash-IPA (ops/pallas/ipa_attention.py). Honest v5e
+    # measurement (docs/DESIGN.md table): XLA's dense decomposed path is
+    # FASTER at every practical N (<=2048) on this single-core chip — the
+    # kernel's value is O(blk) attention memory for very long sequences
+    # where the dense [F,H,N,N] tensors pressure HBM. Default off; "auto"
+    # enables it on TPU at N >= pallas_min_n; True forces it.
+    use_pallas_attention: bool | str = False
+    pallas_min_n: int = 3072
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
 
 

@@ -52,7 +52,18 @@ def _ns(**kw):
     return types.SimpleNamespace(**kw)
 
 
+def _purge_src_stubs():
+    """test_diffusion.py installs fake 'src.data*' modules; drop them so the
+    REAL reference packages import (order-dependent under the full suite)."""
+    for k in [k for k in sys.modules
+              if k == "src" or k.startswith("src.")]:
+        if isinstance(getattr(sys.modules[k], "__file__", None), str):
+            continue  # real module from /root/reference
+        del sys.modules[k]
+
+
 def _build_reference():
+    _purge_src_stubs()
     from src.data.se3_diffuser import SE3Diffuser as RefSE3
     from src.model.Dfold_network_dynamic import FullScoreNetwork
 
