@@ -197,3 +197,21 @@ def test_batch_vmap_equals_independent_windows(setup):
                 np.asarray(batched[name][b]), np.asarray(solo[b][name]),
                 atol=1e-5, err_msg=f"{name}[{b}]",
             )
+
+
+def test_small_f_conv_matches_generic():
+    """The unfolded small-F conv path must equal the generic 5x5 SAME conv
+    bit-for-bit semantics (it replaces nn.Conv in ConvNet)."""
+    from dynamicpdb_tpu.models.layers import _small_f_conv5x5
+
+    rng = np.random.default_rng(0)
+    for F, N, Ci, Co in ((2, 16, 12, 8), (3, 9, 6, 10), (1, 7, 4, 4)):
+        x = jnp.asarray(rng.normal(size=(F, N, Ci)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(5, 5, Ci, Co)), jnp.float32)
+        b = jnp.asarray(rng.normal(size=(Co,)), jnp.float32)
+        got = _small_f_conv5x5(x, k, b)
+        ref = jax.lax.conv_general_dilated(
+            x[None], k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )[0] + b
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
