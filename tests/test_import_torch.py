@@ -236,3 +236,40 @@ def test_sampler_parity_with_reference_inference_loop(tmp_path):
     mine = np.concatenate([mine[..., :4] * sign, mine[..., 4:]], -1)
     assert np.abs(mine - ref_final).max() < 5e-3
     assert np.abs(np.asarray(out["atom37"]) - ref_atom37).max() < 5e-3
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_eval_cli_ref_ckpt_end_to_end(tmp_path, capsys):
+    """eval_cli --ref-ckpt: reference torch checkpoint -> our sampler/metrics."""
+    import csv
+
+    from dynamicpdb_tpu import eval_cli
+    from dynamicpdb_tpu.data.synthetic import make_trajectory_npz
+
+    ref_model = _build_reference()
+    ckpt = tmp_path / "ref.pth"
+    torch.save(
+        {"model": ref_model.state_dict(), "conf": None, "optimizer": None,
+         "epoch": 0, "step": 1},
+        str(ckpt),
+    )
+    make_trajectory_npz(str(tmp_path / "traj.npz"), n_res=N, n_frames=8)
+    with open(tmp_path / "m.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["name", "atlas_npz", "seq_len"])
+        w.writerow(["p0", str(tmp_path / "traj.npz"), N])
+
+    eval_cli.main([
+        "--ckpt", str(ckpt), "--ref-ckpt",
+        f"data.csv_path={tmp_path / 'm.csv'}",
+        f"data.filtering.max_len={N}",
+        "data.num_t=3",
+        f"model.node_embed_size={C_S}", f"model.edge_embed_size={C_Z}",
+        f"model.ipa.c_s={C_S}", f"model.ipa.c_z={C_Z}",
+        f"model.ipa.c_hidden={C_H}", f"model.ipa.no_heads={H}",
+        f"model.ipa.no_qk_points={PQ}", f"model.ipa.no_v_points={PV}",
+        f"model.ipa.num_blocks={BLOCKS}",
+    ])
+    out = capsys.readouterr().out
+    assert "ave_rot:" in out and "ave_atom_rmsd:" in out
