@@ -23,9 +23,77 @@ def make_mesh(shape: tuple = (), axes: tuple = ("data",)) -> Mesh:
     return Mesh(devices, axes[: len(shape)])
 
 
+def maybe_initialize_distributed() -> bool:
+    """Multi-host runtime init (`jax.distributed.initialize`) — the
+    TPU-native replacement for the reference's env-driven
+    `dist.init_process_group('nccl')` (train_DFOLD_dynamics.py:373-382).
+
+    No-op unless a coordinator is configured (JAX_COORDINATOR_ADDRESS /
+    COORDINATOR_ADDRESS env, as set by multi-host TPU launchers); idempotent
+    if the runtime was already initialized.
+    """
+    import os
+
+    if not (
+        os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("COORDINATOR_ADDRESS")
+    ):
+        return False
+    try:
+        jax.distributed.initialize()
+    except RuntimeError:
+        pass  # already initialized
+    return True
+
+
+def detect_num_slices() -> int:
+    """Number of distinct TPU slices among visible devices (1 on CPU/GPU or
+    a single slice; >1 under Multislice where gradient reduction must also
+    cross DCN)."""
+    return len({getattr(d, "slice_index", 0) or 0 for d in jax.devices()})
+
+
+def make_hybrid_mesh(
+    n_slices: int | None = None, model_axis: int = 1
+) -> Mesh:
+    """Mesh with an explicit DCN outer axis: ('slice', 'data'[, 'model']).
+
+    On real Multislice TPU (devices expose distinct `slice_index`), uses
+    `mesh_utils.create_hybrid_device_mesh` so the 'slice' axis maps exactly
+    onto DCN and the inner axes ride ICI — XLA then lowers the gradient
+    all-reduce hierarchically (reduce-scatter/all-gather within a slice,
+    one cross-slice combine over DCN per step). Elsewhere (tests, CPU
+    emulation) pass `n_slices` explicitly and the device list is factored
+    by adjacency, which preserves the mesh semantics without the fabric.
+    """
+    devices = jax.devices()
+    n_dev = len(devices)
+    detected = detect_num_slices()
+    if n_slices is None:
+        n_slices = detected
+    if n_dev % n_slices or (n_dev // n_slices) % model_axis:
+        raise ValueError(
+            f"{n_dev} devices cannot factor into {n_slices} slices "
+            f"x data x model={model_axis}"
+        )
+    data_axis = n_dev // n_slices // model_axis
+    axes = ("slice", "data", "model")[: 2 + (model_axis > 1)]
+    shape = (n_slices, data_axis) + ((model_axis,) if model_axis > 1 else ())
+    if detected > 1:
+        dev = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(1,) + shape[1:],
+            dcn_mesh_shape=(n_slices,) + (1,) * (len(shape) - 1),
+        )
+    else:
+        dev = np.asarray(devices).reshape(shape)
+    return Mesh(dev, axes)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch-of-windows) axis across the 'data' axis."""
-    return NamedSharding(mesh, P("data"))
+    """Shard the leading (batch-of-windows) axis across every data-like
+    mesh axis ('data', plus 'slice' under Multislice)."""
+    axes = tuple(a for a in mesh.axis_names if a != "model")
+    return NamedSharding(mesh, P(axes))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -154,6 +154,12 @@ def rollout(
     as ONE jitted double-scan: each outer step denoises a fresh window, then
     slides it with rigids_0 <- cat(pred[1:], pred[-1:]).
 
+    Faithful-to-reference caveat: only the rigid window slides. The
+    force/velocity/torsion-angle conditioning channels in ``init_feats``
+    stay frozen at the INITIAL window for the whole rollout (the reference
+    never re-derives them either, train:982-996), so for long horizons
+    those channels go progressively stale relative to the predicted frames.
+
     Returns (atom37_traj [n_steps, N, 37, 3], rigid_traj [n_steps, N, 7]).
     """
     F, N = init_feats["res_mask"].shape

@@ -59,10 +59,19 @@ def main(argv=None):
         else apply_overrides(Config(), args.overrides)
     )
 
+    mesh_lib.maybe_initialize_distributed()
     pad_to = args.pad_to or cfg.data.filtering.max_len
     dataset = TrajectoryDataset(cfg.data, split="train", pad_to=pad_to)
     n_dev = jax.device_count()
-    mesh = mesh_lib.make_mesh() if n_dev > 1 else None
+    if n_dev > 1:
+        n_slices = mesh_lib.detect_num_slices()
+        mesh = (
+            mesh_lib.make_hybrid_mesh()  # DCN-aware ('slice','data') mesh
+            if n_slices > 1
+            else mesh_lib.make_mesh()
+        )
+    else:
+        mesh = None
     global_batch = max(cfg.experiment.batch_size, n_dev)
     sampler = EpochSampler(
         n_items=len(dataset),

@@ -48,6 +48,35 @@ def test_graft_dryrun_multichip():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_hybrid_slice_mesh_matches_flat_dp():
+    """Multislice-style ('slice','data') mesh must reproduce flat-DP losses
+    (CPU emulation: 2 slices x 4 devices; on hardware 'slice' rides DCN)."""
+    window = make_window(n_res=8, frame_time=2, seed=0)
+    key = jax.random.PRNGKey(0)
+    batch = jax.tree_util.tree_map(lambda x: jnp.asarray(np.stack([x] * 8)), window)
+
+    flat = Trainer(TINY_CFG, mesh=mesh_lib.make_mesh((8,), ("data",)))
+    p, o = flat.init_params(key, window)
+    _, _, aux_flat = flat.compiled_train_step()(
+        p, o, key, mesh_lib.shard_batch(flat.mesh, batch)
+    )
+
+    hybrid_mesh = mesh_lib.make_hybrid_mesh(n_slices=2)
+    assert hybrid_mesh.axis_names == ("slice", "data")
+    assert dict(hybrid_mesh.shape) == {"slice": 2, "data": 4}
+    hyb = Trainer(TINY_CFG, mesh=hybrid_mesh)
+    p2, o2 = hyb.init_params(key, window)
+    sharded = mesh_lib.shard_batch(hybrid_mesh, batch)
+    # leading axis must be split across all 8 devices (slice x data)
+    assert len(jax.tree_util.tree_leaves(sharded)[0].addressable_shards) == 8
+    _, _, aux_hyb = hyb.compiled_train_step()(p2, o2, key, sharded)
+
+    np.testing.assert_allclose(
+        float(aux_flat["total_loss"]), float(aux_hyb["total_loss"]), rtol=1e-5
+    )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_tensor_parallel_sharding_matches_dp():
     """DP+TP (4x2 mesh, model-sharded params) must reproduce the DP loss."""
     from dynamicpdb_tpu.parallel import sharding as sharding_lib
