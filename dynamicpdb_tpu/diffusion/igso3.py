@@ -133,7 +133,12 @@ def build_tables(
         )
         if cache_file is not None:
             os.makedirs(cache_dir, exist_ok=True)
-            np.savez_compressed(cache_file, **arrays)
+            # atomic publish: concurrent processes (parallel test workers,
+            # multi-host training sharing a cache dir) must never observe a
+            # partially-written table file
+            tmp = f"{cache_file}.{os.getpid()}.tmp.npz"  # np appends .npz otherwise
+            np.savez_compressed(tmp, **arrays)
+            os.replace(tmp, cache_file)
 
     return IGSO3Tables(
         **{k: jnp.asarray(v, jnp.float32) for k, v in arrays.items()}

@@ -31,9 +31,17 @@ GLY_IDX = 7  # 'G' in the OmegaFold/AF2 restype order
 
 
 @functools.lru_cache(maxsize=1)
-def tables() -> dict:
+def _np_tables() -> dict:
     z = np.load(_TABLES_PATH)
-    return {k: jnp.asarray(z[k]) for k in z.files}
+    return {k: np.asarray(z[k]) for k in z.files}
+
+
+def tables() -> dict:
+    # Memoize NUMPY arrays only; convert per call. Caching jnp values is a
+    # trap: jnp.asarray under an active jit trace returns a tracer, and a
+    # memoized tracer poisons every later call with
+    # jax.errors.UnexpectedTracerError when the FIRST caller was jitted.
+    return {k: jnp.asarray(v) for k, v in _np_tables().items()}
 
 
 def robust_normalize(x, eps: float = 4e-5):

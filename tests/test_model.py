@@ -36,13 +36,23 @@ def setup():
         jax.random.PRNGKey(1), feats, diffuser, min_t=0.01
     )
     model = DFoldScoreNetwork(TINY_MODEL)
-    params = model.init(jax.random.PRNGKey(0), feats)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), feats)
     return w, diffuser, feats, model, params
 
 
-def test_output_shapes(setup):
+@pytest.fixture(scope="module")
+def jitted(setup):
+    """Shared jitted forwards: one compile per program for the whole module
+    (and across runs via the persistent compilation cache)."""
+    _, diffuser, _, model, _ = setup
+    japply = jax.jit(model.apply)
+    jfwd = jax.jit(lambda p, f: score_forward(model, p, diffuser, f))
+    return japply, jfwd
+
+
+def test_output_shapes(setup, jitted):
     _, diffuser, feats, model, params = setup
-    out = score_forward(model, params, diffuser, feats)
+    out = jitted[1](params, feats)
     F, N = feats["res_mask"].shape
     assert out["rigids"].shape == (F, N, 7)
     assert out["angles"].shape == (F, N, 7, 2)
@@ -54,12 +64,12 @@ def test_output_shapes(setup):
         assert bool(jnp.all(jnp.isfinite(v)))
 
 
-def test_zero_init_predicts_previous_frame(setup):
+def test_zero_init_predicts_previous_frame(setup, jitted):
     """BackboneUpdate is zero-init, so at initialization the prediction slot
     must carry frame F-2 verbatim (the reference's RefAsPred baseline) —
     ref-cat conditioning (ipa_pytorch_dynamic.py:819) + zeroed updates."""
     _, _, feats, model, params = setup
-    out = model.apply(params, feats)
+    out = jitted[0](params, feats)
     np.testing.assert_allclose(
         np.asarray(out["rigids"][-1]), np.asarray(feats["rigids_0"][-2]), atol=1e-5
     )
@@ -69,7 +79,7 @@ def test_zero_init_predicts_previous_frame(setup):
     )
 
 
-def test_reference_frames_never_move_after_training_updates(setup):
+def test_reference_frames_never_move_after_training_updates(setup, jitted):
     """Even with non-zero updates, frames 0..F-2 must stay clean."""
     _, diffuser, feats, model, params = setup
     # jam the update weights with noise
@@ -80,7 +90,7 @@ def test_reference_frames_never_move_after_training_updates(setup):
         if "bb_update" in "/".join(map(str, k)):
             flat[k] = jnp.ones_like(flat[k]) * 0.05
     params2 = flax.traverse_util.unflatten_dict(flat)
-    out = model.apply(params2, feats)
+    out = jitted[0](params2, feats)
     np.testing.assert_allclose(
         np.asarray(out["rigids"][:-1]), np.asarray(feats["rigids_0"][:-1]), atol=1e-5
     )
@@ -116,18 +126,18 @@ def test_featurize_eval_init(setup):
     assert ev["rigids_t"].shape == feats["rigids_0"].shape
 
 
-def test_masked_residues_do_not_leak(setup):
+def test_masked_residues_do_not_leak(setup, jitted):
     """Zeroing res_mask on some residues: outputs on kept residues must be
     invariant to the masked residues' node inputs (attention masking)."""
     _, diffuser, feats, model, params = setup
     f1 = dict(feats)
     mask = jnp.ones_like(f1["res_mask"]).at[:, -2:].set(0.0)
     f1["res_mask"] = mask
-    out1 = model.apply(params, f1)
+    out1 = jitted[0](params, f1)
 
     f2 = dict(f1)
     f2["node_repr"] = f1["node_repr"].at[-2:].set(99.0)
-    out2 = model.apply(params, f2)
+    out2 = jitted[0](params, f2)
     # masked-node perturbation must not change kept-residue attention output;
     # conv mixes spatially, so compare only a strict-interior residue window
     np.testing.assert_allclose(
@@ -136,7 +146,7 @@ def test_masked_residues_do_not_leak(setup):
     )
 
 
-def test_bfloat16_compute_dtype(setup):
+def test_bfloat16_compute_dtype(setup, jitted):
     """bf16 mixed precision: geometry outputs stay float32 and close to the
     f32 path; atoms finite."""
     import dataclasses
@@ -145,8 +155,8 @@ def test_bfloat16_compute_dtype(setup):
     mbf = DFoldScoreNetwork(
         dataclasses.replace(TINY_MODEL, compute_dtype="bfloat16")
     )
-    out32 = model.apply(params, feats)
-    outbf = mbf.apply(params, feats)
+    out32 = jitted[0](params, feats)
+    outbf = jax.jit(mbf.apply)(params, feats)
     assert outbf["rigids"].dtype == jnp.float32
     np.testing.assert_allclose(
         np.asarray(outbf["rigids"]), np.asarray(out32["rigids"]), atol=0.05
@@ -177,8 +187,9 @@ def test_batch_vmap_equals_independent_windows(setup):
         feats = diffuse_training_window(key, feats, diffuser, min_t=0.01)
         return score_forward(model, params, diffuser, feats)
 
+    jf = jax.jit(fwd)
     k0, k1 = jax.random.split(jax.random.PRNGKey(7))
-    solo = [fwd(w0, k0), fwd(w1, k1)]
+    solo = [jf(w0, k0), jf(w1, k1)]
 
     batch = {
         k: jnp.stack([jnp.asarray(w0[k]), jnp.asarray(w1[k])])
@@ -190,12 +201,12 @@ def test_batch_vmap_equals_independent_windows(setup):
         feats = diffuse_training_window(key, feats, diffuser, min_t=0.01)
         return score_forward(model, params, diffuser, feats)
 
-    batched = jax.vmap(window_fwd)(batch, jnp.stack([k0, k1]))
+    batched = jax.jit(jax.vmap(window_fwd))(batch, jnp.stack([k0, k1]))
     for name in ("rigids", "rot_score", "trans_score", "atom37"):
         for b in range(2):
             np.testing.assert_allclose(
                 np.asarray(batched[name][b]), np.asarray(solo[b][name]),
-                atol=1e-5, err_msg=f"{name}[{b}]",
+                atol=5e-5, err_msg=f"{name}[{b}]",
             )
 
 

@@ -95,7 +95,10 @@ def test_full_model_parity_three_cycles():
         ref_edge, ref_node = ref(ref_inputs, fwd_cfg=fwd_cfg)
 
     params, cfg = M.params_from_torch(ref)
-    edge, node, conf = M.omegafold_embed(params, cfg, cycles, jit=False)
+    # jit=True: the jit and eager paths are proven equal in
+    # test_jit_cycle_matches_eager; the jitted one hits the persistent
+    # compile cache, keeping this heavy parity test fast on reruns
+    edge, node, conf = M.omegafold_embed(params, cfg, cycles, jit=True)
 
     assert 0 < conf <= 1
     np.testing.assert_allclose(
@@ -155,7 +158,7 @@ def test_extract_embeddings_end_to_end(tmp_path):
     fasta = [">p1\n", "MKTAYIAKQRQISFVK\n", ">p2\n", "GSHMKT\n"]
 
     out = dict(extract_embeddings(fasta, params, cfg, num_cycles=2,
-                                  num_pseudo_msa=2, jit=False))
+                                  num_pseudo_msa=2, jit=True))
     assert set(out) == {"p1", "p2"}
     assert out["p2"]["node_repr"].shape == (6, 24)
     assert out["p2"]["edge_repr"].shape == (6, 6, 16)
@@ -166,7 +169,7 @@ def test_extract_embeddings_end_to_end(tmp_path):
         assert 0 < float(v["confidence"]) <= 1
 
     out2 = dict(extract_embeddings(fasta, params, cfg, num_cycles=2,
-                                   num_pseudo_msa=2, jit=False))
+                                   num_pseudo_msa=2, jit=True))
     np.testing.assert_array_equal(
         out["p1"]["node_repr"], out2["p1"]["node_repr"]
     )

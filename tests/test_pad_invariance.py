@@ -7,6 +7,8 @@ are invariant to pad_to in {N, 2N} even when the model emits junk at padded
 positions.
 """
 import numpy as np
+
+import jax
 import jax.numpy as jnp
 
 from dynamicpdb_tpu.analysis.metrics import eval_window_metrics
@@ -26,7 +28,7 @@ def _feats_and_out(pad_to: int):
     rng = np.random.default_rng(7)
     raw = make_window(n_res=N, frame_time=F, seed=3)
     raw = pad_window(raw, pad_to)
-    feats = {k: np.asarray(v) for k, v in featurize_window(
+    feats = {k: np.asarray(v) for k, v in jax.jit(featurize_window)(
         {k: jnp.asarray(v) for k, v in raw.items()}).items()}
 
     pad_mask = feats["res_mask"][..., None]  # [F, P, 1]
@@ -70,8 +72,9 @@ def test_loss_invariant_to_padding():
     conf = ExperimentConfig()
     feats_a, out_a, _ = _feats_and_out(N)
     feats_b, out_b, _ = _feats_and_out(2 * N)
-    total_a, aux_a = dfold_loss(out_a, feats_a, conf)
-    total_b, aux_b = dfold_loss(out_b, feats_b, conf)
+    jloss = jax.jit(lambda o, f: dfold_loss(o, f, conf))
+    total_a, aux_a = jloss(out_a, feats_a)
+    total_b, aux_b = jloss(out_b, feats_b)
     for k in aux_a:
         np.testing.assert_allclose(
             float(aux_a[k]), float(aux_b[k]), rtol=1e-5, err_msg=k
@@ -84,7 +87,7 @@ def test_eval_metrics_invariant_to_padding():
     results = {}
     for pad_to in (N, 2 * N):
         feats, out, pred_atom37 = _feats_and_out(pad_to)
-        m = eval_window_metrics(
+        m = jax.jit(eval_window_metrics)(
             out["rigids"], pred_atom37, feats["rigids_0"],
             feats["atom37_pos"], feats["atom37_mask"],
             res_mask=feats["res_mask"],

@@ -18,18 +18,18 @@ def setup():
     w = make_window(n_res=10, frame_time=2, seed=1)
     diffuser = SE3Diffuser(TINY_SE3)
     model = DFoldScoreNetwork(TINY_MODEL)
-    feats = featurize_window(jax.tree_util.tree_map(jnp.asarray, w))
-    feats = eval_init_window(jax.random.PRNGKey(0), feats, diffuser)
-    params = model.init(jax.random.PRNGKey(0), feats)
+    feats = jax.jit(featurize_window)(jax.tree_util.tree_map(jnp.asarray, w))
+    feats = jax.jit(lambda k, f: eval_init_window(k, f, diffuser))(
+        jax.random.PRNGKey(0), feats)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), feats)
     return w, diffuser, model, feats, params
 
 
 def test_reverse_sample_shapes_and_finiteness(setup):
     _, diffuser, model, feats, params = setup
-    out = reverse_sample(
-        jax.random.PRNGKey(1), model, params, diffuser, feats,
-        num_t=4, noise_scale=0.1, aux_traj=True,
-    )
+    out = jax.jit(lambda k, p, f: reverse_sample(
+        k, model, p, diffuser, f, num_t=4, noise_scale=0.1, aux_traj=True,
+    ))(jax.random.PRNGKey(1), params, feats)
     F, N = feats["res_mask"].shape
     assert out["rigids"].shape == (F, N, 7)
     assert out["prot_traj"].shape == (4, F, N, 37, 3)
@@ -43,9 +43,9 @@ def test_zero_init_model_sampler_returns_refaspred(setup):
     RefAsPred baseline (frame F-2 of the clean references), regardless of the
     noise trajectory — validates the final-step x0 rule."""
     _, diffuser, model, feats, params = setup
-    out = reverse_sample(
-        jax.random.PRNGKey(2), model, params, diffuser, feats, num_t=3,
-    )
+    out = jax.jit(lambda k, p, f: reverse_sample(
+        k, model, p, diffuser, f, num_t=3,
+    ))(jax.random.PRNGKey(2), params, feats)
     np.testing.assert_allclose(
         np.asarray(out["rigids"][-1]),
         np.asarray(feats["rigids_0"][-2]),
