@@ -26,7 +26,11 @@ N_RES = 256
 FRAME_TIME = 2
 NUM_T = 10
 TRAIN_STEPS = 16
-ROLLOUT_FRAMES = 16
+# 64 frames: one device call per measurement either way (the rollout is a
+# single lax.scan), but short rollouts over-weight the fixed host dispatch +
+# tunnel fetch (~35 ms/call) vs the north-star 1000-frame regime. Device
+# compute is 49 ms per 16 frames (profiled; docs/DESIGN.md).
+ROLLOUT_FRAMES = 64
 
 # bf16 peak FLOP/s per chip by device kind substring
 _PEAK_FLOPS = [
@@ -149,6 +153,39 @@ def main():
     )
     print(f"MFU (median): {mfu}", file=sys.stderr)
 
+    # --- per-device batch B=4: amortizes the fixed Adam HBM pass ----------
+    # (the step is optimizer-bound at B=1; see docs/DESIGN.md profile table)
+    B = 4
+    batch4 = jax.device_put(
+        jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(
+                jnp.asarray(x)[None, None], (TRAIN_STEPS, B) + x.shape
+            ),
+            window,
+        )
+    )
+    del batch
+    step4 = jax.jit(trainer.multi_train_step, donate_argnums=(0, 1))
+    compiled4 = step4.lower(params, opt_state, key, batch4).compile()
+    params, opt_state, aux = compiled4(params, opt_state, key, batch4)
+    float(aux["total_loss"])
+    wps_runs = []
+    for rep in range(3):
+        t0 = time.time()
+        params, opt_state, aux = compiled4(
+            params, opt_state, jax.random.fold_in(key, 10 + rep), batch4
+        )
+        float(aux["total_loss"])
+        wps_runs.append(TRAIN_STEPS * B / (time.time() - t0))
+    wps_b4 = float(np.median(wps_runs))
+    print(f"train windows/sec at B={B}: median={wps_b4:.3f} "
+          f"(B=1: {train_sps_med:.3f})", file=sys.stderr)
+    mfu_b4 = None
+    f4 = _flops_of(compiled4)
+    if f4 is not None and peak:
+        mfu_b4 = round(f4 / TRAIN_STEPS * (wps_b4 / B) / peak, 4)
+        print(f"MFU at B={B} (median): {mfu_b4}", file=sys.stderr)
+
     # --- rollout throughput ----------------------------------------------
     diffuser = trainer.diffuser
     model = trainer.model
@@ -189,6 +226,8 @@ def main():
                 "train_steps_per_sec_median": round(train_sps_med, 3),
                 "train_flops_per_step": flops_per_step,
                 "mfu_median": mfu,
+                "train_windows_per_sec_b4": round(wps_b4, 3),
+                "mfu_b4_median": mfu_b4,
                 "compile_s": round(compile_s, 1),
                 "device": str(dev),
             }

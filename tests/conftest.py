@@ -9,9 +9,14 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_max_isa" not in flags:
+    # Pin a portable ISA baseline so the committed persistent compile cache
+    # (.cache/jax_tests) is loadable on any x86 host. Without this, AOT
+    # entries bake in the builder's CPU features (AVX-512/AMX) and XLA warns
+    # "could lead to execution errors such as SIGILL" on other machines.
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -86,14 +86,14 @@ def test_model_with_pallas_attention_matches_jnp():
     feats = diffuse_training_window(jax.random.PRNGKey(1), feats, diffuser, 0.01)
 
     model_jnp = DFoldScoreNetwork(TINY_MODEL)
-    params = model_jnp.init(jax.random.PRNGKey(0), feats)
-    out_jnp = model_jnp.apply(params, feats)
+    params = jax.jit(model_jnp.init)(jax.random.PRNGKey(0), feats)
+    out_jnp = jax.jit(model_jnp.apply)(params, feats)
 
     pallas_ipa = dataclasses.replace(
         TINY_MODEL.ipa, use_pallas_attention=True, pallas_interpret=True
     )
     model_pl = DFoldScoreNetwork(dataclasses.replace(TINY_MODEL, ipa=pallas_ipa))
-    out_pl = model_pl.apply(params, feats)
+    out_pl = jax.jit(model_pl.apply)(params, feats)
 
     np.testing.assert_allclose(
         np.asarray(out_pl["rigids"]), np.asarray(out_jnp["rigids"]), atol=1e-4
@@ -134,8 +134,8 @@ def test_fused_backward_matches_dense_grads():
                 + jnp.sum(o_pair * w[2]))
 
     argnums = (0, 1, 2, 3, 4, 5, 6, 7, 9)  # everything except mask
-    g_fused = jax.grad(loss_fused, argnums=argnums)(*args)
-    g_dense = jax.grad(loss_dense, argnums=argnums)(*args)
+    g_fused = jax.jit(jax.grad(loss_fused, argnums=argnums))(*args)
+    g_dense = jax.jit(jax.grad(loss_dense, argnums=argnums))(*args)
     names = ["q", "k", "v", "q_pts", "k_pts", "v_pts", "bias", "pair_z",
              "head_weights"]
     for name, gf, gd in zip(names, g_fused, g_dense):
