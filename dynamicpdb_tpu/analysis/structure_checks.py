@@ -87,8 +87,17 @@ def tm_score(pred_ca: np.ndarray, gt_ca: np.ndarray, n_iter: int = 20):
                     d_cut += 0.5  # too few inliers: widen (TM-score program)
         return best_local
 
-    best = 0.0
-    frag = L
+    if L == 0:
+        return 0.0
+    if L < 3:
+        # 1-2 points are always exactly superposable (Kabsch needs >= 3);
+        # TM of a perfect superposition is 1
+        return 1.0
+    # always seed from the full chain (the fragment loop below skips it for
+    # L < 4, which used to return a spurious 0.0 on tiny/heavily-masked
+    # chains even for identical structures)
+    best = score_from(np.arange(L))
+    frag = L // 2
     while frag >= max(4, L // 8):
         step = max(frag // 2, 1)
         for start in range(0, L - frag + 1, step):
@@ -106,13 +115,20 @@ def radius_of_gyration(atom37: np.ndarray, mask37: np.ndarray) -> float:
     return float(np.sqrt(np.mean(np.sum((flat - com) ** 2, -1))))
 
 
-def _ks_hbond_energy(atom37: np.ndarray) -> np.ndarray:
+def _ks_hbond_energy(
+    atom37: np.ndarray, mask37: np.ndarray | None = None
+) -> np.ndarray:
     """Kabsch-Sander hydrogen-bond energies E[donor_i, acceptor_j] in
     kcal/mol (DSSP, Kabsch & Sander 1983; the criterion mdtraj's DSSP uses).
 
     Donor = backbone N-H of residue i (H placed on the N-H direction
     opposite the previous residue's C=O); acceptor = C=O of residue j.
     E = 0.084 * 332 * (1/r_ON + 1/r_CH - 1/r_OH - 1/r_CN).
+
+    mask37: optional [L, 37] atom-presence mask. Residues with missing
+    backbone atoms sit at the origin in atom37; without masking, two
+    origin-placed atoms are ~0 A apart and fabricate E ~ -28 kcal/mol
+    "bonds" (mdtraj skips incomplete residues the same way).
     """
     n, ca, c, o = atom37[:, 0], atom37[:, 1], atom37[:, 2], atom37[:, 4]
     L = len(atom37)
@@ -123,6 +139,14 @@ def _ks_hbond_energy(atom37: np.ndarray) -> np.ndarray:
     h[1:] = n[1:] + co
     has_h = np.ones(L, bool)
     has_h[0] = False  # N-terminus has no defined amide H
+    can_accept = np.ones(L, bool)
+    if mask37 is not None:
+        m = np.asarray(mask37, bool)
+        has_n, has_c, has_o = m[:, 0], m[:, 2], m[:, 4]
+        # donor needs its own N plus the previous residue's C=O (H placement)
+        has_h &= has_n
+        has_h[1:] &= has_c[:-1] & has_o[:-1]
+        can_accept = has_c & has_o
 
     def dist(a, b):
         return np.linalg.norm(a[:, None] - b[None, :], axis=-1) + 1e-9
@@ -133,13 +157,16 @@ def _ks_hbond_energy(atom37: np.ndarray) -> np.ndarray:
         - 1.0 / dist(n, c)
     )
     E[~has_h, :] = 0.0
+    E[:, ~can_accept] = 0.0
     # no bond to self or sequence neighbors (|i-j| < 2), DSSP convention
     idx = np.arange(L)
     E[np.abs(idx[:, None] - idx[None, :]) < 2] = 0.0
     return E
 
 
-def assign_secondary_structure(atom37: np.ndarray) -> np.ndarray:
+def assign_secondary_structure(
+    atom37: np.ndarray, mask37: np.ndarray | None = None
+) -> np.ndarray:
     """Simplified DSSP assignment ('H'/'E'/'C', the 3-class reduction
     mdtraj.compute_dssp(simplified=True) reports): Kabsch-Sander H-bonds ->
     n-turns -> helices (two consecutive 4/3/5-turns), and parallel/
@@ -148,7 +175,7 @@ def assign_secondary_structure(atom37: np.ndarray) -> np.ndarray:
     ss = np.full(L, "C", dtype=object)
     if L < 5:
         return ss
-    E = _ks_hbond_energy(atom37)
+    E = _ks_hbond_energy(atom37, mask37)
     hbond = E < -0.5  # [donor, acceptor]
 
     # n-turns: acceptor i, donor i+n
@@ -169,28 +196,36 @@ def assign_secondary_structure(atom37: np.ndarray) -> np.ndarray:
     # antiparallel (Hb(i, j) and Hb(j, i)) or (Hb(i-1, j+1) and Hb(j-1, i+1))
     # NOTE hbond[d, a] = donor d -> acceptor a; DSSP's Hb(i, j) means
     # "CO of i accepts from NH of j", i.e. hbond[j, i].
+    # Vectorized over the (i, j) plane: shift Hb so entry [i, j] of each
+    # shifted matrix reads the required offset lookup, then reduce. The
+    # predicate is symmetric under i<->j, so restricting to the j >= i+3
+    # upper triangle and OR-ing both axes reproduces the pairwise loop.
     Hb = hbond.T  # Hb[i, j]: CO(i) <- NH(j)
-    strand = np.zeros(L, bool)
-    for i in range(1, L - 1):
-        for j in range(i + 3, L - 1):
-            para = (Hb[i - 1, j] and Hb[j, i + 1]) or (
-                Hb[j - 1, i] and Hb[i, j + 1]
-            )
-            anti = (Hb[i, j] and Hb[j, i]) or (
-                Hb[i - 1, j + 1] and Hb[j - 1, i + 1]
-            )
-            if para or anti:
-                strand[i] = strand[j] = True
+    z = np.zeros((1, L), bool)
+    zc = np.zeros((L, 1), bool)
+    down = np.vstack([z, Hb[:-1]])     # [i, j] -> Hb[i-1, j]
+    left = np.hstack([Hb[:, 1:], zc])  # [i, j] -> Hb[i, j+1]
+    c1 = down & left.T                 # Hb[i-1, j] & Hb[j, i+1]
+    para = c1 | c1.T                   # second clause = c1 with i<->j
+    ur = np.zeros((L, L), bool)
+    ur[1:, : L - 1] = Hb[:-1, 1:]      # ur[i, j] = Hb[i-1, j+1]
+    anti = (Hb & Hb.T) | (ur & ur.T)   # (ur.T)[i, j] = Hb[j-1, i+1]
+    ii, jj = np.meshgrid(np.arange(L), np.arange(L), indexing="ij")
+    valid = (jj >= ii + 3) & (ii >= 1) & (jj <= L - 2)
+    bridge = (para | anti) & valid
+    strand = bridge.any(axis=1) | bridge.any(axis=0)
 
     ss[strand] = "E"
     ss[helix] = "H"  # helix wins ties (DSSP priority H > E)
     return ss
 
 
-def secondary_structure_fractions(atom37: np.ndarray) -> dict:
+def secondary_structure_fractions(
+    atom37: np.ndarray, mask37: np.ndarray | None = None
+) -> dict:
     """Helix/strand/coil fractions via the Kabsch-Sander criterion (the
     reference reports mdtraj DSSP fractions, metrics.py:55-69)."""
-    ss = assign_secondary_structure(atom37)
+    ss = assign_secondary_structure(atom37, mask37)
     return {
         "helix_percent": float(np.mean(ss == "H")),
         "strand_percent": float(np.mean(ss == "E")),
@@ -215,7 +250,7 @@ def protein_metrics(atom37: np.ndarray, mask37: np.ndarray,
         "num_ca_steric_clashes": n_clash,
         "ca_steric_clash_percent": clash_pct,
         "radius_of_gyration": radius_of_gyration(atom37, mask37),
-        **secondary_structure_fractions(atom37[bb_ok]),
+        **secondary_structure_fractions(atom37[bb_ok], mask37[bb_ok]),
     }
     if aatype is not None:
         from dynamicpdb_tpu.analysis.violations import (

@@ -142,12 +142,17 @@ class Config:
 def _coerce(value: str, current: Any) -> Any:
     if value.lower() in ("null", "none"):
         return None
-    if isinstance(current, bool):
-        return value.lower() in ("1", "true", "yes", "on")
-    if isinstance(current, str) and current.lower() in (
-        "auto", "true", "false", "1", "0", "yes", "no", "on", "off"
+    if value.lower() == "auto":
+        # tri-state bool|str fields (use_pallas_attention="auto") must accept
+        # 'auto' regardless of the CURRENT value's type — checking
+        # isinstance(current, bool) first would silently coerce 'auto' to
+        # False whenever the default is a bool
+        return "auto"
+    if isinstance(current, bool) or (
+        isinstance(current, str) and current.lower() in (
+            "auto", "true", "false", "1", "0", "yes", "no", "on", "off"
+        )
     ):
-        # tri-state bool|str fields (e.g. use_pallas_attention="auto")
         if value.lower() in ("1", "true", "yes", "on"):
             return True
         if value.lower() in ("0", "false", "no", "off"):

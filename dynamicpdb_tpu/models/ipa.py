@@ -69,9 +69,15 @@ class InvariantPointAttention(nn.Module):
         c_qk = math.sqrt(1.0 / (3 * C))
 
         use_pallas = c.use_pallas_attention
-        if isinstance(use_pallas, str) and use_pallas.lower() != "auto":
-            # CLI overrides arrive as strings ("true"/"false")
-            use_pallas = use_pallas.lower() in ("1", "true", "yes", "on")
+        if isinstance(use_pallas, str):
+            # CLI/YAML values arrive as strings ("true"/"Auto"/...).
+            # Normalize case FIRST: an unnormalized truthy string like
+            # "Auto" must not fall through to `if use_pallas:` and
+            # force-enable the kernel.
+            use_pallas = (
+                "auto" if use_pallas.lower() == "auto"
+                else use_pallas.lower() in ("1", "true", "yes", "on")
+            )
         if use_pallas == "auto":
             # crossover: below pallas_min_n the decomposed jnp path is
             # already MXU-bound; above it the kernel's O(blk) VMEM tiling

@@ -489,7 +489,10 @@ def _fused_ipa_backward(qf, kf, vf, qpf, kpf, vpf, bias_f, pair_z, maskf,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((H, N, N), jnp.float32),
-            jax.ShapeDtypeStruct((N, N, Dz), pair_z.dtype),
+            # accumulate dpz in f32 across the F*H grid revisits; under bf16
+            # inputs an in-place bf16 += would round away low-order gradient
+            # mass each revisit (the caller casts back to pair_z.dtype once)
+            jax.ShapeDtypeStruct((N, N, Dz), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             # the dpz tile + double-buffered inputs need slightly more than

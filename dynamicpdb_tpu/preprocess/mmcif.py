@@ -107,6 +107,13 @@ def _parse_loops(text: str, prefixes: tuple[str, ...]) -> dict:
             cat, _, item = toks[0].partition(".")
             if cat in [p.rstrip(".") for p in prefixes]:
                 names, rows = found[cat]
+                if rows and not isinstance(rows[0], dict):
+                    # category already captured as a loop_ (token-list rows);
+                    # stray single key-value records for the same category
+                    # (mixed style occurs in real PDBx archives) must not be
+                    # indexed like a dict — the loop data wins
+                    i += 1
+                    continue
                 if not rows:
                     found[cat] = (names, [{}])
                 if len(toks) > 1:
@@ -203,13 +210,18 @@ def parse_mmcif(path: str, file_id: str | None = None) -> MmcifObject:
         if seq_id in ("?", "."):
             seq_id = get(row, "label_seq_id")
         seq_id = int(seq_id)
+        # insertion code: residues 100, 100A, 100B share auth_seq_id and are
+        # distinct residues — keying on the int alone would merge them and
+        # silently drop/mix their atoms (common in antibody CDR loops)
+        ins = get(row, "pdbx_PDB_ins_code", ".")
+        ins = "" if ins in (".", "?") else ins
         xyz = (
             float(get(row, "Cartn_x")),
             float(get(row, "Cartn_y")),
             float(get(row, "Cartn_z")),
         )
         ch = chains.setdefault(chain_id, {})
-        res = ch.setdefault(seq_id, {"res3": res3, "atoms": {}})
+        res = ch.setdefault((seq_id, ins), {"res3": res3, "atoms": {}})
         res["atoms"].setdefault(atom, xyz)
 
     out_chains = {}
@@ -234,7 +246,9 @@ def parse_mmcif(path: str, file_id: str | None = None) -> MmcifObject:
             aatype=aatype,
             atom37=atom37,
             atom37_mask=mask37,
-            residue_index=np.asarray(seq_ids, np.int32),
+            # author numbering; inserted residues (100A/100B...) keep their
+            # parent number, matching the AF2/openfold convention
+            residue_index=np.asarray([sid for sid, _ in seq_ids], np.int32),
             sequence="".join(seq),
         )
     return MmcifObject(

@@ -54,3 +54,16 @@ def test_config_is_frozen():
     cfg = Config()
     with pytest.raises(dataclasses.FrozenInstanceError):
         cfg.data = None
+
+
+def test_auto_override_survives_bool_default():
+    """'auto' must reach tri-state bool|str fields through CLI overrides even
+    when the current value is a bool (it used to coerce to False silently)."""
+    from dynamicpdb_tpu.config import Config, apply_overrides
+
+    cfg = apply_overrides(Config(), ["model.ipa.use_pallas_attention=auto"])
+    assert cfg.model.ipa.use_pallas_attention == "auto"
+    cfg = apply_overrides(cfg, ["model.ipa.use_pallas_attention=true"])
+    assert cfg.model.ipa.use_pallas_attention is True
+    cfg = apply_overrides(cfg, ["model.ipa.use_pallas_attention=false"])
+    assert cfg.model.ipa.use_pallas_attention is False

@@ -85,3 +85,19 @@ def test_fractions_sum_to_one():
     assert abs(f["helix_percent"] + f["strand_percent"]
                + f["coil_percent"] - 1.0) < 1e-9
     assert f["helix_percent"] > 0.6
+
+
+def test_missing_backbone_atoms_do_not_fabricate_hbonds():
+    """Residues with absent N/C/O sit at the origin in atom37; unmasked they
+    fabricate ~-28 kcal/mol H-bonds. With mask37 they must be inert."""
+    from dynamicpdb_tpu.analysis.structure_checks import _ks_hbond_energy
+
+    a37 = np.array(ideal_backbone(-57.0, -47.0, 18), copy=True)
+    m37 = np.zeros((18, 37), np.float32)
+    m37[:, [0, 1, 2, 4]] = 1.0
+    a37[7, [0, 2, 4]] = 0.0  # zero N, C, O like a real sparse PDB entry
+    m37[7, [0, 2, 4]] = 0.0
+    E = _ks_hbond_energy(a37, m37)
+    assert (E[7] == 0).all() and (E[:, 7] == 0).all()
+    # donors needing residue 7's C=O for H placement are silenced too
+    assert (E[8] == 0).all()

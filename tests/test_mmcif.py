@@ -77,3 +77,54 @@ def test_mmcif_to_training_window(tmp_path):
     raw2 = ds2.get_window(0)
     np.testing.assert_allclose(raw2["atom37"][0], raw["atom37"][0][:10],
                                atol=1e-4)
+
+
+def test_insertion_codes_kept_as_distinct_residues(tmp_path):
+    """Residues 100 / 100A / 100B share auth_seq_id and must not merge
+    (antibody CDR numbering)."""
+    rows = []
+    serial = 1
+    for ins, res3, x in (("?", "ALA", 0.0), ("A", "GLY", 4.0), ("B", "SER", 8.0)):
+        for atom, dx in (("N", 0.0), ("CA", 1.5), ("C", 2.9), ("O", 3.5)):
+            rows.append(
+                f"ATOM {serial} {atom} {res3} A A 100 {ins} . "
+                f"{x + dx:.3f} 0.000 0.000 1"
+            )
+            serial += 1
+    text = "\n".join(
+        ["data_test", "#", "loop_",
+         "_atom_site.group_PDB", "_atom_site.id", "_atom_site.label_atom_id",
+         "_atom_site.label_comp_id", "_atom_site.label_asym_id",
+         "_atom_site.auth_asym_id", "_atom_site.auth_seq_id",
+         "_atom_site.pdbx_PDB_ins_code", "_atom_site.label_alt_id",
+         "_atom_site.Cartn_x", "_atom_site.Cartn_y", "_atom_site.Cartn_z",
+         "_atom_site.pdbx_PDB_model_num"] + rows + ["#"]
+    )
+    path = str(tmp_path / "ins.cif")
+    with open(path, "w") as f:
+        f.write(text)
+    obj = parse_mmcif(path)
+    ch = obj.chains["A"]
+    assert ch.sequence == "AGS"
+    np.testing.assert_array_equal(ch.residue_index, [100, 100, 100])
+    # each residue keeps its own CA x-coordinate (no atom mixing)
+    np.testing.assert_allclose(ch.atom37[:, 1, 0], [1.5, 5.5, 9.5], atol=1e-3)
+
+
+def test_mixed_loop_and_single_record_category(tmp_path):
+    """A loop_ category followed by a stray single key-value line for the
+    same category must not crash the parser (mixed style in real PDBx)."""
+    path, w = _write_case(tmp_path, name="2mix")
+    with open(path) as f:
+        text = f.read()
+    # the writer emits _refine.ls_d_res_high as single key-value; add a
+    # conflicting loop_ first so the single line hits the loop-parsed entry
+    inject = "\n".join([
+        "loop_", "_refine.ls_d_res_high", "_refine.ls_R_factor_obs",
+        "2.1 0.2", "#", "_refine.ls_d_res_high 2.1", "#",
+    ])
+    text = text.replace("_refine.ls_d_res_high 2.1", inject)
+    with open(path, "w") as f:
+        f.write(text)
+    obj = parse_mmcif(path)  # must not raise
+    assert obj.resolution == 2.1

@@ -142,3 +142,31 @@ def test_fused_backward_matches_dense_grads():
         np.testing.assert_allclose(
             np.asarray(gf), np.asarray(gd), atol=2e-4, err_msg=name
         )
+
+
+def test_fused_backward_bf16_pair_grad_accumulates_in_f32():
+    """dpz must be accumulated in f32 across the F*H grid revisits even when
+    pair_z is bf16 (in-place bf16 += used to round away gradient mass each
+    revisit); the returned grad still carries pair_z's dtype."""
+    from dynamicpdb_tpu.ops.pallas.ipa_attention import ipa_attention
+
+    d, c_qk = _setup(F=2, N=16, H=2, C=8, Pq=4, Pv=6, Dz=4, masked=0)
+
+    def loss(pz, dtype):
+        o, o_pt, o_pair = ipa_attention(
+            d["q"], d["k"], d["v"], d["q_pts"], d["k_pts"], d["v_pts"],
+            d["bias"], pz.astype(dtype), d["mask"], d["head_weights"],
+            c_qk, math.sqrt(1 / 3), 1e5, 8, 8, True, True,
+        )
+        return jnp.sum(o.astype(jnp.float32) ** 2) + jnp.sum(
+            o_pair.astype(jnp.float32) ** 2
+        )
+
+    g_bf16 = jax.jit(jax.grad(lambda pz: loss(pz, jnp.bfloat16)))(d["pair_z"])
+    g_f32 = jax.jit(jax.grad(lambda pz: loss(pz, jnp.float32)))(d["pair_z"])
+    # bf16 inputs quantize the forward, so compare at bf16-level tolerance;
+    # without f32 accumulation the revisit rounding pushed errors well past
+    # this
+    np.testing.assert_allclose(
+        np.asarray(g_bf16, np.float32), np.asarray(g_f32), atol=0.15, rtol=0.05
+    )

@@ -106,3 +106,13 @@ def test_tm_score_monotone_in_noise():
         s = sc.tm_score(ca + RNG.normal(size=ca.shape) * sigma, ca)
         assert s <= prev + 0.02
         prev = s
+
+
+def test_tm_score_tiny_chains():
+    """Chains below the fragment-loop minimum must still score (a 3-residue
+    identical pair used to return 0.0)."""
+    rng = np.random.default_rng(3)
+    ca = rng.normal(size=(3, 3)).astype(np.float64)
+    assert sc.tm_score(ca, ca) > 0.9
+    assert sc.tm_score(ca[:2], ca[:2]) == 1.0
+    assert sc.tm_score(ca[:0], ca[:0]) == 0.0
