@@ -23,9 +23,12 @@ from dynamicpdb_tpu.models.omegafold.core import attention
 
 
 def _normalize(x, eps=1e-5):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    # stats in f32: under the opt-in bf16 inference path a bf16 mean/var
+    # over 1280-dim rows loses ~3 decimal digits (exact no-op for f32 input)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    return (((xf - mean) * jax.lax.rsqrt(var + eps))).astype(x.dtype)
 
 
 def _mask2bias(mask, inf=1e9):

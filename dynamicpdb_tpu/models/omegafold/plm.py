@@ -44,9 +44,12 @@ class PLMParams(NamedTuple):
 
 
 def _layer_norm(x, weight=None, bias=None, eps=1e-5):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    # stats in f32: under the opt-in bf16 inference path a bf16 mean/var
+    # over 1280-dim rows loses ~3 decimal digits (exact no-op for f32 input)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
     if weight is not None:
         y = y * weight + bias
     return y

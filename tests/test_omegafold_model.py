@@ -202,3 +202,20 @@ def test_load_release_weights_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(params_a), jax.tree_util.tree_leaves(params_b)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_bf16_inference_close_to_f32():
+    """Opt-in bf16 inference path: reprs within bf16-level tolerance of the
+    f32 reference-parity path (norm statistics stay f32)."""
+    ref = _build_ref()
+    params, cfg = M.params_from_torch(ref)
+    _, cycles = next(P.fasta2inputs(FASTA, num_pseudo_msa=2, num_cycle=2))
+    e32, n32, _ = M.omegafold_embed(params, cfg, cycles, jit=True)
+    ebf, nbf, _ = M.omegafold_embed(params, cfg, cycles, jit=True,
+                                    dtype=jnp.bfloat16)
+    assert ebf.dtype == jnp.float32 and nbf.dtype == jnp.float32
+    scale = float(np.abs(np.asarray(n32)).mean()) + 1e-6
+    assert float(np.abs(np.asarray(nbf) - np.asarray(n32)).mean()) < 0.1 * scale
+    escale = float(np.abs(np.asarray(e32)).mean()) + 1e-6
+    assert float(np.abs(np.asarray(ebf) - np.asarray(e32)).mean()) < 0.1 * escale
