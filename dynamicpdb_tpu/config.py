@@ -126,6 +126,10 @@ class ExperimentConfig:
     mesh_shape: tuple = ()  # () = single device; e.g. (8,) data-parallel
     mesh_axes: tuple = ("data",)
     bf16: bool = False
+    # "bfloat16" stores AMSGrad moments in bf16 (math stays f32): the
+    # optimizer pass is the largest HBM-traffic slice of a train step
+    # (docs/DESIGN.md); None/"float32" = exact optax.amsgrad sequence
+    opt_state_dtype: str | None = None
 
 
 @dataclass(frozen=True)

@@ -35,12 +35,9 @@ class Trainer:
         self.cfg = cfg
         self.model = DFoldScoreNetwork(cfg.model)
         self.diffuser = SE3Diffuser(cfg.diffuser)
-        opt = optax.amsgrad(cfg.experiment.learning_rate)
-        if cfg.experiment.grad_clip_norm:
-            opt = optax.chain(
-                optax.clip_by_global_norm(cfg.experiment.grad_clip_norm), opt
-            )
-        self.optimizer = opt
+        from dynamicpdb_tpu.train.optim import make_optimizer
+
+        self.optimizer = make_optimizer(cfg.experiment)
         self.mesh = mesh
         self._train_step = None
 

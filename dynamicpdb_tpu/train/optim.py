@@ -1,0 +1,130 @@
+"""AMSGrad with configurable optimizer-state dtype.
+
+The reference trains with torch Adam(amsgrad=True) (train_DFOLD_dynamics.py
+:412); optax.amsgrad reproduces that math exactly (tests/test_optim.py).
+On TPU the optimizer pass is the single largest slice of a flagship train
+step — pure HBM traffic over params + three f32 moments (docs/DESIGN.md:
+40% of device time at B=1). Storing the moments in bfloat16 halves that
+traffic; all arithmetic still happens in f32 (moments are upcast, updated,
+then cast back), so the only difference from f32 state is rounding of the
+stored accumulators.
+
+``amsgrad(lr, state_dtype=None)`` is a drop-in for ``optax.amsgrad``:
+with ``state_dtype=None`` the update sequence is bit-identical to optax's
+(same update_moment / bias_correction ordering); with
+``state_dtype=jnp.bfloat16`` the mu/nu/nu_max accumulators are stored in
+bf16. Enabled via ``experiment.opt_state_dtype: bfloat16``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class AmsgradState(NamedTuple):
+    count: jax.Array
+    mu: optax.Updates
+    nu: optax.Updates
+    nu_max: optax.Updates
+
+
+def _cast(tree, dtype):
+    if dtype is None:
+        return tree
+    return jax.tree_util.tree_map(lambda x: x.astype(dtype), tree)
+
+
+def scale_by_amsgrad(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    eps_root: float = 0.0,
+    state_dtype: Optional[jnp.dtype] = None,
+) -> optax.GradientTransformation:
+    """optax.scale_by_amsgrad with all three accumulators in state_dtype."""
+
+    def init_fn(params):
+        def zeros():
+            # three INDEPENDENT trees: sharing one would alias buffers and
+            # break donation ("attempt to donate the same buffer twice")
+            return jax.tree_util.tree_map(
+                lambda p: jnp.zeros_like(p, dtype=state_dtype or p.dtype),
+                params,
+            )
+
+        return AmsgradState(
+            count=jnp.zeros([], jnp.int32),
+            mu=zeros(), nu=zeros(), nu_max=zeros(),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        # upcast stored accumulators to the gradient dtype for the arithmetic
+        mu_f = jax.tree_util.tree_map(
+            lambda m, g: m.astype(g.dtype), state.mu, updates
+        )
+        nu_f = jax.tree_util.tree_map(
+            lambda v, g: v.astype(g.dtype), state.nu, updates
+        )
+        nu_max_f = jax.tree_util.tree_map(
+            lambda v, g: v.astype(g.dtype), state.nu_max, updates
+        )
+        mu = jax.tree_util.tree_map(
+            lambda g, m: b1 * m + (1.0 - b1) * g, updates, mu_f
+        )
+        nu = jax.tree_util.tree_map(
+            lambda g, v: b2 * v + (1.0 - b2) * (g * g), updates, nu_f
+        )
+        count_inc = optax.safe_int32_increment(state.count)
+        c1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
+        mu_hat = jax.tree_util.tree_map(lambda m: m / c1, mu)
+        nu_hat = jax.tree_util.tree_map(lambda v: v / c2, nu)
+        nu_max = jax.tree_util.tree_map(jnp.maximum, nu_max_f, nu_hat)
+        new_updates = jax.tree_util.tree_map(
+            lambda m, v: m / (jnp.sqrt(v + eps_root) + eps), mu_hat, nu_max
+        )
+        return new_updates, AmsgradState(
+            count=count_inc,
+            mu=_cast(mu, state_dtype),
+            nu=_cast(nu, state_dtype),
+            nu_max=_cast(nu_max, state_dtype),
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def amsgrad(
+    learning_rate: float,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    state_dtype: Optional[jnp.dtype] = None,
+) -> optax.GradientTransformation:
+    """Adam(amsgrad=True) equivalent; state_dtype=bfloat16 halves the
+    optimizer's HBM traffic (moments stored bf16, math in f32)."""
+    return optax.chain(
+        scale_by_amsgrad(b1=b1, b2=b2, eps=eps, state_dtype=state_dtype),
+        optax.scale(-learning_rate),
+    )
+
+
+def make_optimizer(experiment_cfg) -> optax.GradientTransformation:
+    """Build the training optimizer from ExperimentConfig (config.py):
+    plain AMSGrad as in the reference, optional global-norm clipping, and
+    optional low-precision optimizer state."""
+    state_dtype = None
+    name = getattr(experiment_cfg, "opt_state_dtype", None)
+    if name:
+        state_dtype = jnp.dtype(name)
+        if state_dtype == jnp.float32:
+            state_dtype = None  # f32 path = exact optax.amsgrad sequence
+    opt = amsgrad(experiment_cfg.learning_rate, state_dtype=state_dtype)
+    if experiment_cfg.grad_clip_norm:
+        opt = optax.chain(
+            optax.clip_by_global_norm(experiment_cfg.grad_clip_norm), opt
+        )
+    return opt

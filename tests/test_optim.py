@@ -1,0 +1,130 @@
+"""Optimizer-state dtype (train/optim.py): f32 path must be bit-compatible
+with optax.amsgrad (the reference's Adam(amsgrad=True)); bf16 state must
+still optimize and actually be stored in bf16."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from dynamicpdb_tpu.train import optim
+
+
+def _toy_problem(seed=0):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    params = {
+        "w": jax.random.normal(k1, (8, 4)),
+        "b": jax.random.normal(k2, (4,)),
+    }
+    x = jax.random.normal(k3, (16, 8))
+    y = jnp.sin(x[:, :4])
+
+    def loss(p):
+        pred = x @ p["w"] + p["b"]
+        return jnp.mean((pred - y) ** 2)
+
+    return params, loss
+
+
+def _run(opt, params, loss, steps=25):
+    state = opt.init(params)
+    losses = []
+
+    @jax.jit
+    def step(params, state):
+        l, g = jax.value_and_grad(loss)(params)
+        updates, state = opt.update(g, state, params)
+        return optax.apply_updates(params, updates), state, l
+
+    for _ in range(steps):
+        params, state, l = step(params, state)
+        losses.append(float(l))
+    return params, state, losses
+
+
+def test_f32_state_matches_optax_amsgrad():
+    params, loss = _toy_problem()
+    p_ref, _, l_ref = _run(optax.amsgrad(1e-2), params, loss)
+    p_ours, _, l_ours = _run(optim.amsgrad(1e-2), params, loss)
+    for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                    jax.tree_util.tree_leaves(p_ours)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(l_ref, l_ours, rtol=1e-6)
+
+
+def test_bf16_state_dtype_and_convergence():
+    params, loss = _toy_problem()
+    opt = optim.amsgrad(1e-2, state_dtype=jnp.bfloat16)
+    p, state, losses = _run(opt, params, loss, steps=60)
+    # accumulators actually stored in bf16
+    inner = state[0] if isinstance(state, tuple) else state
+    for acc in (inner.mu, inner.nu, inner.nu_max):
+        for leaf in jax.tree_util.tree_leaves(acc):
+            assert leaf.dtype == jnp.bfloat16
+    # optimizes: large loss reduction, close to the f32 trajectory
+    _, _, losses32 = _run(optim.amsgrad(1e-2), params, loss, steps=60)
+    assert losses[-1] < 0.5 * losses[0]
+    assert abs(losses[-1] - losses32[-1]) < 0.05 * (losses32[0] - losses32[-1])
+
+
+def test_make_optimizer_respects_config():
+    class Cfg:
+        learning_rate = 1e-3
+        grad_clip_norm = None
+        opt_state_dtype = "bfloat16"
+
+    params, loss = _toy_problem()
+    opt = optim.make_optimizer(Cfg())
+    state = opt.init(params)
+    leaves = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(lambda x: x, state)
+    )
+    dtypes = {leaf.dtype for leaf in leaves if leaf.ndim > 0}
+    assert dtypes == {jnp.dtype(jnp.bfloat16)}
+
+    Cfg.opt_state_dtype = "float32"
+    _, _, l_cfg = _run(optim.make_optimizer(Cfg()), params, loss, steps=10)
+    _, _, l_ref = _run(optax.amsgrad(1e-3), params, loss, steps=10)
+    np.testing.assert_allclose(l_cfg, l_ref, rtol=1e-6)
+
+
+def test_trainer_uses_opt_state_dtype():
+    """End-to-end: a Trainer built with opt_state_dtype=bfloat16 trains and
+    its optimizer state is bf16."""
+    import dataclasses
+
+    from dynamicpdb_tpu.data.synthetic import make_window
+    from dynamicpdb_tpu.train.experiment import Trainer
+    from tests.test_train import TINY_CFG
+
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        experiment=dataclasses.replace(
+            TINY_CFG.experiment, opt_state_dtype="bfloat16"
+        ),
+    )
+    trainer = Trainer(cfg)
+    window = make_window(n_res=8, frame_time=2, seed=0)
+    params, opt_state = trainer.init_params(jax.random.PRNGKey(1), window)
+    moment_leaves = [
+        leaf
+        for leaf in jax.tree_util.tree_leaves(opt_state)
+        if leaf.ndim > 0
+    ]
+    assert moment_leaves and all(
+        leaf.dtype == jnp.bfloat16 for leaf in moment_leaves
+    )
+    batch = jax.tree_util.tree_map(lambda x: x[None], window)
+    step = jax.jit(trainer.train_step)
+    p1, s1, aux1 = step(params, opt_state, jax.random.PRNGKey(2), batch)
+    p2, s2, aux2 = step(p1, s1, jax.random.PRNGKey(3), batch)
+    assert np.isfinite(float(aux2["total_loss"]))
+    # params actually moved
+    d = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(p2))
+    )
+    assert d > 0
