@@ -74,6 +74,10 @@ def main(argv=None):
     parser.add_argument("--n-frames", type=int, default=32)
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--set", action="append", default=[],
+                        dest="overrides", metavar="key=value",
+                        help="extra config overrides, e.g. "
+                             "--set experiment.opt_state_dtype=bfloat16")
     args = parser.parse_args(argv)
 
     import logging
@@ -137,7 +141,7 @@ def main(argv=None):
         "data.frame_time=2",
         f"data.filtering.max_len={max(n_res, 16)}",
         "experiment.log_freq=10",
-    ])
+    ] + args.overrides)
 
     dataset = TrajectoryDataset(cfg.data, split="train", pad_to=n_res)
     sampler = EpochSampler(
