@@ -48,9 +48,25 @@ class AttnParams(NamedTuple):
 
 
 def gated_attention(p: AttnParams, q_inputs, kv_inputs, bias, *,
-                    c: int, gating: bool, n_axis: int, q_dim: int):
+                    c: int, gating: bool, n_axis: int, q_dim: int,
+                    flash: bool = False):
     """q_inputs/kv_inputs: (*, len, dim[, n_axis]); bias broadcastable to
-    (*, n_axis, H, q_len, kv_len)."""
+    (*, n_axis, H, q_len, kv_len).
+
+    flash=True (TPU inference): the whole gated attention — q/k/v/gate
+    projections, biased softmax, value contraction, sigmoid gating — runs
+    as ONE Pallas kernel per batch row, so neither the [B, axis, H, L, L]
+    logits tensor nor the projected q/k/v ever reach HBM
+    (ops/pallas/geom_attention.py). Requires self-attention over a
+    batch-independent bias ([axis, H, Lq, Lk]) with gating — the
+    GeometricAttention case; falls back to the dense path for L >
+    MAX_FLASH_RES.
+    """
+    from dynamicpdb_tpu.ops.pallas.geom_attention import (
+        MAX_FLASH_RES,
+        fused_gated_geom_attention,
+    )
+
     to_unsqueeze = q_inputs.shape[-1] != n_axis and q_inputs.shape[-1] == q_dim
     if to_unsqueeze:
         q_inputs = q_inputs[..., None]
@@ -58,14 +74,30 @@ def gated_attention(p: AttnParams, q_inputs, kv_inputs, bias, *,
         if bias is not None:
             bias = jnp.expand_dims(bias, -4)
 
-    qg = jnp.einsum("...qar,arhc->...rhqc", q_inputs, p.qg_weights) + p.qg_bias
-    q = qg[..., :c]
-    kv = jnp.einsum("...kar,arhc->...rhkc", kv_inputs, p.kv_weights) + p.kv_bias
-    k, v = kv[..., :c], kv[..., c:]
-
-    out, _ = attention(q, k, c ** (-0.5), v, bias)
-    if gating:
-        out = out * jax.nn.sigmoid(qg[..., c:])
+    if flash and not to_unsqueeze and q_inputs.shape[-3] <= MAX_FLASH_RES:
+        assert gating and bias.ndim == 4 and q_inputs.ndim == 4, (
+            gating, bias.shape, q_inputs.shape,
+        )
+        assert bias.shape[0] == n_axis == q_inputs.shape[-1]
+        assert q_inputs is kv_inputs or q_inputs.shape == kv_inputs.shape
+        out = fused_gated_geom_attention(
+            q_inputs, p.qg_weights, p.qg_bias, p.kv_weights, p.kv_bias,
+            bias, c=c, scale=c ** (-0.5),
+        )
+    else:
+        qg = (
+            jnp.einsum("...qar,arhc->...rhqc", q_inputs, p.qg_weights)
+            + p.qg_bias
+        )
+        q = qg[..., :c]
+        kv = (
+            jnp.einsum("...kar,arhc->...rhkc", kv_inputs, p.kv_weights)
+            + p.kv_bias
+        )
+        k, v = kv[..., :c], kv[..., c:]
+        out, _ = attention(q, k, c ** (-0.5), v, bias)
+        if gating:
+            out = out * jax.nn.sigmoid(qg[..., c:])
 
     out = jnp.einsum("...rhqc,rhco->...qor", out, p.o_weights) + p.o_bias
     if to_unsqueeze:
@@ -190,8 +222,17 @@ def _sliced(w, d_edge, shift):
     return core[..., shift::2, :].reshape(core.shape[:-2] + (2 * d_edge,))
 
 
-def geometric_attention(p: GeomAttnParams, edge, mask, *, c: int, n_head: int):
-    """edge: [L, L, d]; mask: [L]. Returns the residual update."""
+def geometric_attention(p: GeomAttnParams, edge, mask, *, c: int, n_head: int,
+                        flash: bool = False, pad_safe: bool = False):
+    """edge: [L, L, d]; mask: [L]. Returns the residual update.
+
+    pad_safe=True closes the two places the reference lets unmasked
+    positions leak (harmless there — it never pads): the attended branch's
+    overwritten mask bias and the triangle contraction's unmasked summed-out
+    axis. Bitwise identical to pad_safe=False when mask is all-ones; used by
+    padded extraction (pipeline pad_to) so padding cannot perturb real
+    positions.
+    """
     d = edge.shape[-1]
     edge = _normalize(edge)
     stacked = jnp.stack([edge, jnp.swapaxes(edge, -2, -3)], axis=-1)
@@ -199,10 +240,14 @@ def geometric_attention(p: GeomAttnParams, edge, mask, *, c: int, n_head: int):
     # attended branch: two-axis gated attention with projected edge bias.
     # NOTE: the reference initializes b with mask2bias and then fully
     # overwrites it with this einsum (modules.py:619-645) — its mask never
-    # reaches the attended branch; mirrored here for parity.
+    # reaches the attended branch; mirrored here for parity (pad_safe
+    # restores the key masking).
     b = jnp.einsum("qkcr,crh->rhqk", stacked, p.linear_b_w) + p.linear_b_b
+    if pad_safe:
+        b = b + _mask2bias(mask)[None, None, None, :]
     attended = gated_attention(
-        p.attn, stacked, stacked, b, c=c, gating=True, n_axis=2, q_dim=d
+        p.attn, stacked, stacked, b, c=c, gating=True, n_axis=2, q_dim=d,
+        flash=flash,
     )
     attended = attended[..., 0] + jnp.swapaxes(attended[..., 1], -2, -3)
 
@@ -211,6 +256,8 @@ def geometric_attention(p: GeomAttnParams, edge, mask, *, c: int, n_head: int):
     col_w, col_b = _sliced(p.act_w, d, 1), _sliced(p.act_b, d, 1)
     act_row = _glu(jnp.einsum("ikdr,drc->ikrc", stacked, row_w) + row_b)
     act_row = act_row * mask[:, None, None, None]
+    if pad_safe:
+        act_row = act_row * mask[None, :, None, None]  # summed-out k axis
     act_col = _glu(jnp.einsum("jkdr,drc->jkrc", stacked, col_w) + col_b)
     act_col = act_col * mask[:, None, None, None]
     ab = jnp.einsum("ikrd,jkrd->ijrd", act_row, act_col)
@@ -247,7 +294,8 @@ class GeoFormerBlockParams(NamedTuple):
 
 
 def geoformer_block(p: GeoFormerBlockParams, node, edge, mask, *,
-                    attn_c: int, geom_c: int, geom_head: int):
+                    attn_c: int, geom_c: int, geom_head: int,
+                    flash: bool = False, pad_safe: bool = False):
     """node: [M, L, d_node]; edge: [L, L, d_edge]; mask: [M, L]."""
     node = node + attention_w_edge_bias(
         p.attn_edge_bias, node, edge, mask, c=attn_c
@@ -265,7 +313,8 @@ def geoformer_block(p: GeoFormerBlockParams, node, edge, mask, *,
     edge = edge + node2edge(p.out_product, node, mask)
     for gp in p.geom:
         edge = edge + geometric_attention(
-            gp, edge, mask[..., 0, :], c=geom_c, n_head=geom_head
+            gp, edge, mask[..., 0, :], c=geom_c, n_head=geom_head,
+            flash=flash, pad_safe=pad_safe,
         )
     edge = edge + transition(p.edge_transition, edge)
     return node, edge
@@ -297,19 +346,23 @@ class GeoFormerParams(NamedTuple):
 
 
 def geoformer(p: GeoFormerParams, node, edge, mask, *, attn_c: int,
-              geom_c: int, geom_head: int):
+              geom_c: int, geom_head: int, flash: bool = False,
+              pad_safe: bool = False):
     """node [M, L, d_node], edge [L, L, d_edge], mask [M, L].
 
     Returns (node_repr [M, L, d_node], edge_repr, final_node [M, L, d_struct])
     — matching GeoFormer.forward's (recycle node, recycle edge, structure
     input). The 50-block stack runs under lax.scan over stacked per-block
     params: one compiled block body instead of 50 unrolled copies.
+    flash: fused Pallas attention for the GeometricAttention branches
+    (TPU inference; forward-only).
     """
 
     def body(carry, bp):
         n, e = geoformer_block(
             bp, carry[0], carry[1], mask,
-            attn_c=attn_c, geom_c=geom_c, geom_head=geom_head,
+            attn_c=attn_c, geom_c=geom_c, geom_head=geom_head, flash=flash,
+            pad_safe=pad_safe,
         )
         return (n, e), None
 

@@ -127,7 +127,8 @@ def deep_sequence_embed(params: OmegaFoldParams, cfg: OmegaFoldConfig,
 
 
 def omegafold_cycle(params: OmegaFoldParams, cfg: OmegaFoldConfig,
-                    p_msa, p_msa_mask, prev_node, prev_edge, prev_x):
+                    p_msa, p_msa_mask, prev_node, prev_edge, prev_x,
+                    flash: bool = False, pad_safe: bool = False):
     """One recycling iteration (OmegaFoldCycle.forward + the wrapping loop
     body, model.py:59-110, 166-196). Returns
     (node_out [L, node_dim], edge_out [L, L, edge_dim], confidence_overall,
@@ -142,6 +143,7 @@ def omegafold_cycle(params: OmegaFoldParams, cfg: OmegaFoldConfig,
     prev_node_full, edge, final_node = geoformer(
         params.geoformer, node, edge, p_msa_mask,
         attn_c=cfg.attn_c, geom_c=cfg.geom_c, geom_head=cfg.geom_head,
+        flash=flash, pad_safe=pad_safe,
     )
     node_struct, (rots, trans), torsions = structure_module(
         params.structure, final_node[..., 0, :, :], edge, mask,
@@ -167,7 +169,8 @@ def _cast_float_leaves(tree, dtype):
 
 def omegafold_embed(params: OmegaFoldParams, cfg: OmegaFoldConfig,
                     cycle_inputs, *, predict_with_confidence: bool = True,
-                    jit: bool = True, dtype=None):
+                    jit: bool = True, dtype=None, flash: bool = False,
+                    pad_safe: bool = False):
     """Run all recycling cycles; return (edge_repr, node_repr) of the most
     confident cycle (model.py:146-210: `if confidence_overall >
     max_confidence` — strictly greater, first cycle wins ties).
@@ -178,6 +181,16 @@ def omegafold_embed(params: OmegaFoldParams, cfg: OmegaFoldConfig,
     at N=256/10 cycles is within noise of f32 (6.21 vs 6.15 seq/min on
     v5e — the hot path is not MXU-f32-bound; see tools/bench_omegafold.py).
     Norm statistics stay f32; returned reprs are cast back to f32.
+
+    flash: fused Pallas attention for the GeoFormer's GeometricAttention
+    (ops/pallas/geom_attention.py) — the measured hot spot of a cycle.
+    TPU-only, forward-only.
+
+    pad_safe: use with inputs padded by pipeline pad_to/pad_multiple —
+    masks the reference's two unmasked leaks in GeometricAttention so
+    padding cannot perturb real positions (bitwise identical to False for
+    unpadded inputs). Outputs then carry the padded length; callers slice
+    to the true num_res (see preprocess/extract_embeddings.py).
     """
     num_res = cycle_inputs[0]["p_msa"].shape[-1]
     act = dtype or jnp.float32
@@ -188,10 +201,10 @@ def omegafold_embed(params: OmegaFoldParams, cfg: OmegaFoldConfig,
     prev_x = jnp.zeros((num_res, 14, 3), act)
 
     if jit:
-        fn = _jitted_cycle(cfg)
+        fn = _jitted_cycle(cfg, flash, pad_safe)
     else:
         fn = lambda p, a, b, pn, pe, px: omegafold_cycle(
-            p, cfg, a, b, pn, pe, px
+            p, cfg, a, b, pn, pe, px, flash=flash, pad_safe=pad_safe
         )
 
     max_conf = 0.0
@@ -213,11 +226,13 @@ def omegafold_embed(params: OmegaFoldParams, cfg: OmegaFoldConfig,
     )
 
 
-@functools.lru_cache(maxsize=4)
-def _jitted_cycle(cfg: OmegaFoldConfig):
+@functools.lru_cache(maxsize=8)
+def _jitted_cycle(cfg: OmegaFoldConfig, flash: bool = False,
+                  pad_safe: bool = False):
     return jax.jit(
         lambda params, p_msa, p_msa_mask, pn, pe, px: omegafold_cycle(
-            params, cfg, p_msa, p_msa_mask, pn, pe, px
+            params, cfg, p_msa, p_msa_mask, pn, pe, px, flash=flash,
+            pad_safe=pad_safe,
         )
     )
 

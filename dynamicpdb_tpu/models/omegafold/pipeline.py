@@ -102,6 +102,33 @@ def make_pseudo_msa(
     return data
 
 
+def pad_cycle_inputs(cycles: list[dict], pad_to: int) -> list[dict]:
+    """Right-pad each cycle's {p_msa, p_msa_mask} along the residue axis to
+    ``pad_to`` columns so every sequence in a length bucket shares ONE
+    compiled program (fixed XLA shapes; the exact-length path pays a fresh
+    ~40 s compile per distinct length).
+
+    Padding columns carry token 20 ('X') with mask 0 — NOT the mask token
+    21: the PLM's token-dropout rescaling counts token-21 positions
+    (omegaplm.py:221-243 via plm._finetuning_scale), so a 21-padded tail
+    would perturb every real row. Run the model with pad_safe=True and
+    slice outputs back to the true length (each cycle dict carries it as
+    'num_res')."""
+    out = []
+    for cyc in cycles:
+        n = cyc["p_msa"].shape[-1]
+        if pad_to < n:
+            raise ValueError(f"pad_to={pad_to} < sequence length {n}")
+        pad = pad_to - n
+        out.append({
+            "p_msa": np.pad(cyc["p_msa"], ((0, 0), (0, pad)),
+                            constant_values=20),
+            "p_msa_mask": np.pad(cyc["p_msa_mask"], ((0, 0), (0, pad))),
+            "num_res": n,
+        })
+    return out
+
+
 def fasta2inputs(
     fasta_lines,
     *,
@@ -109,14 +136,24 @@ def fasta2inputs(
     mask_rate: float = 0.12,
     num_cycle: int = 10,
     deterministic: bool = True,
+    pad_multiple: int = 0,
 ) -> Iterator[tuple[str, list[dict]]]:
-    """Yield (chain_id, cycle_inputs) per sequence, shortest first."""
+    """Yield (chain_id, cycle_inputs) per sequence, shortest first.
+
+    pad_multiple > 0 right-pads every sequence to the next multiple (length
+    bucketing: one compiled program per bucket instead of per distinct
+    length; see pad_cycle_inputs). Each cycle dict then carries the true
+    length as 'num_res'."""
     for ch, seq in parse_fasta(fasta_lines):
         aatype = tokenize(seq)
-        yield ch, make_pseudo_msa(
+        cycles = make_pseudo_msa(
             aatype,
             num_pseudo_msa=num_pseudo_msa,
             mask_rate=mask_rate,
             num_cycle=num_cycle,
             deterministic=deterministic,
         )
+        if pad_multiple:
+            bucket = -(-len(aatype) // pad_multiple) * pad_multiple
+            cycles = pad_cycle_inputs(cycles, bucket)
+        yield ch, cycles

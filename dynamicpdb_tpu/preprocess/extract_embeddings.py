@@ -53,11 +53,17 @@ def extract_embeddings(
     num_pseudo_msa: int = 15,
     jit: bool = True,
     dtype=None,
+    flash: bool = False,
+    pad_multiple: int = 0,
 ):
     """Yield (name, {node_repr, edge_repr, confidence}) per sequence.
 
     dtype: None = f32 reference-parity; jnp.bfloat16 = faster TPU inference
-    (see omegafold_embed).
+    (see omegafold_embed). flash: fused Pallas GeometricAttention (TPU).
+    pad_multiple: length-bucket padding — one compiled program per bucket
+    of pad_multiple residues instead of a fresh ~40 s XLA compile per
+    distinct sequence length (outputs are sliced back to the true length;
+    runs the pad_safe masking, see models/omegafold/pipeline.py).
     """
     from dynamicpdb_tpu.models.omegafold.model import (
         _cast_float_leaves,
@@ -71,15 +77,20 @@ def extract_embeddings(
         # per sequence)
         params = _cast_float_leaves(params, dtype)
     for name, cycles in fasta2inputs(
-        fasta_lines, num_pseudo_msa=num_pseudo_msa, num_cycle=num_cycles
+        fasta_lines, num_pseudo_msa=num_pseudo_msa, num_cycle=num_cycles,
+        pad_multiple=pad_multiple,
     ):
         t0 = time.time()
         edge, node, conf = omegafold_embed(
-            params, cfg, cycles, jit=jit, dtype=dtype
+            params, cfg, cycles, jit=jit, dtype=dtype, flash=flash,
+            pad_safe=bool(pad_multiple),
         )
+        n = cycles[0].get("num_res", node.shape[0])
+        edge, node = edge[:n, :n], node[:n]
         log.info(
-            "%s: %d res, %d cycles, confidence %.3f (%.1fs)",
-            name, node.shape[0], num_cycles, conf, time.time() - t0,
+            "%s: %d res (padded to %d), %d cycles, confidence %.3f (%.1fs)",
+            name, n, cycles[0]["p_msa"].shape[-1], num_cycles, conf,
+            time.time() - t0,
         )
         yield name, {
             "node_repr": np.asarray(node),
@@ -101,6 +112,15 @@ def main(argv=None):
                         help="bfloat16: halves param memory (same measured "
                              "throughput at N=256); float32 (default) "
                              "matches the torch reference")
+    parser.add_argument("--flash", choices=["auto", "on", "off"],
+                        default="auto",
+                        help="fused Pallas GeometricAttention kernel: "
+                             "'auto' enables it on TPU backends")
+    parser.add_argument("--pad-multiple", type=int, default=0,
+                        help="length-bucket padding (e.g. 32): one XLA "
+                             "compile per bucket instead of per distinct "
+                             "sequence length; 0 = exact shapes "
+                             "(reference-parity)")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -113,12 +133,18 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     with open(args.fasta) as f:
         lines = f.readlines()
+    import jax
     import jax.numpy as jnp
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    if args.flash == "auto":
+        flash = jax.devices()[0].platform == "tpu"
+    else:
+        flash = args.flash == "on"
     for name, arrays in extract_embeddings(
-        lines, params, cfg, dtype=dtype,
+        lines, params, cfg, dtype=dtype, flash=flash,
         num_cycles=args.num_cycles, num_pseudo_msa=args.num_pseudo_msa,
+        pad_multiple=args.pad_multiple,
     ):
         out = os.path.join(args.out_dir, f"{name}.npz")
         np.savez_compressed(out, **arrays)

@@ -219,3 +219,61 @@ def test_bf16_inference_close_to_f32():
     assert float(np.abs(np.asarray(nbf) - np.asarray(n32)).mean()) < 0.1 * scale
     escale = float(np.abs(np.asarray(e32)).mean()) + 1e-6
     assert float(np.abs(np.asarray(ebf) - np.asarray(e32)).mean()) < 0.1 * escale
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_padded_extraction_matches_exact():
+    """Length-bucket padding (pipeline pad_multiple + pad_safe masking):
+    the sliced-back reprs of a padded run must match the exact-shape run.
+    Exercises the three pad-leak closures (token-dropout scale via the
+    'X' pad token, GeometricAttention attended-branch key mask, triangle
+    summed-axis mask)."""
+    ref = _build_ref()
+    params, cfg = M.params_from_torch(ref)
+    _, exact_cycles = next(P.fasta2inputs(FASTA, num_pseudo_msa=3,
+                                          num_cycle=2))
+    _, padded_cycles = next(P.fasta2inputs(FASTA, num_pseudo_msa=3,
+                                           num_cycle=2, pad_multiple=12))
+    n = len(FASTA[1].strip())
+    assert padded_cycles[0]["p_msa"].shape[-1] == 24 > n
+    assert padded_cycles[0]["num_res"] == n
+
+    e0, n0, c0 = M.omegafold_embed(params, cfg, exact_cycles, jit=True)
+    ep, np_, cp = M.omegafold_embed(params, cfg, padded_cycles, jit=True,
+                                    pad_safe=True)
+    ep, np_ = ep[:n, :n], np_[:n]
+    np.testing.assert_allclose(np.asarray(np_), np.asarray(n0), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(ep), np.asarray(e0), atol=3e-4)
+    assert abs(cp - c0) < 1e-3
+
+
+def test_pad_safe_noop_when_unpadded():
+    """pad_safe must be bitwise-invisible for all-ones residue masks."""
+    from dynamicpdb_tpu.models.omegafold import geoformer as G
+
+    import jax
+
+    rng = np.random.default_rng(3)
+    L, d, c, h = 6, 4, 3, 2
+    ks = jax.random.split(jax.random.PRNGKey(1), 8)
+    p = G.GeomAttnParams(
+        linear_b_w=jax.random.normal(ks[0], (d, 2, h)) * 0.3,
+        linear_b_b=jax.random.normal(ks[1], (2, h, 1, 1)) * 0.3,
+        act_w=jax.random.normal(ks[2], (d, 2, 5 * d)) * 0.3,
+        act_b=jax.random.normal(ks[3], (2, 5 * d)) * 0.3,
+        out_proj_w=jax.random.normal(ks[4], (2, d, d)) * 0.3,
+        out_proj_b=jax.random.normal(ks[5], (2, d)) * 0.3,
+        attn=G.AttnParams(
+            qg_weights=jax.random.normal(ks[6], (d, 2, h, 2 * c)) * 0.3,
+            qg_bias=jnp.zeros((2, h, 1, 2 * c)),
+            kv_weights=jax.random.normal(ks[7], (d, 2, h, 2 * c)) * 0.3,
+            kv_bias=jnp.zeros((2, h, 1, 2 * c)),
+            o_weights=jax.random.normal(ks[0], (2, h, c, d)) * 0.3,
+            o_bias=jnp.zeros((d, 2)),
+        ),
+    )
+    edge = jnp.asarray(rng.normal(size=(L, L, d)).astype(np.float32))
+    ones = jnp.ones((L,), jnp.float32)
+    a = G.geometric_attention(p, edge, ones, c=c, n_head=h, pad_safe=False)
+    b = G.geometric_attention(p, edge, ones, c=c, n_head=h, pad_safe=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--pseudo-msa", type=int, default=15)
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="float32")
+    ap.add_argument("--flash", action="store_true",
+                    help="fused Pallas GeometricAttention kernel")
     ap.add_argument("--trace-dir", default="/tmp/geoformer_trace")
     args = ap.parse_args()
 
@@ -63,7 +65,7 @@ def main():
     fn = jax.jit(lambda gp, n, e, m: [
         x.sum() for x in geoformer(
             gp, n, e, m, attn_c=cfg.attn_c, geom_c=cfg.geom_c,
-            geom_head=cfg.geom_head,
+            geom_head=cfg.geom_head, flash=args.flash,
         )
     ])
     t0 = time.time()
@@ -112,7 +114,7 @@ def main():
         print(f"{pct:5.1f}%  {ms:8.1f} ms  {name[:110]}")
         out.append({"op": name, "ms": round(ms, 1), "pct": round(pct, 1)})
     print(json.dumps({
-        "dtype": args.dtype, "n_res": args.n_res,
+        "dtype": args.dtype, "n_res": args.n_res, "flash": args.flash,
         "steady_ms": round(wall * 1e3, 1),
         "device_total_ms": round(total, 1), "top": out[:12],
     }))
