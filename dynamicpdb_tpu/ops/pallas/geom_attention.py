@@ -5,21 +5,23 @@ Motivation (measured, tools/profile_geoformer.py + HLO at release dims
 L=256): the attended branch materializes a [L, 2, H, L, L] f32 logits tensor
 (537 MB) and streams it through separate dot / exp / divide fusions — >60%
 of GeoFormer device time, which is itself 86% of an OmegaFold recycling
-cycle. A first kernel fusing only logits+softmax+values was DMA-bound (one
-tiny 32 KB transfer per (batch, head) cell) and barely beat XLA. This
-version fuses the WHOLE gated attention for one batch row per grid cell:
+cycle. This kernel fuses the whole gated attention for one
+(axis, head, batch row) per grid cell:
 
-    per cell b:  x = stacked[b]            [L, d, 2]   (one 256 KB read)
-      for (r, h):  qg = x_r @ Wqg + bqg    (q | gate)
-                   kv = x_r @ Wkv + bkv    (k | v)
-                   out[r,h] = softmax(q k^T/sqrt(c) + bias[r,h]) v
-                              * sigmoid(gate)
+    per cell (h, b):  x = stacked[b, :, :, r]     [L, d]
+                      qg = x @ Wqg[r,h] + bqg     (q | gate)
+                      kv = x @ Wkv[r,h] + bkv     (k | v)
+                      out = softmax(q k^T/sqrt(c) + bias[r,h]) v
+                            * sigmoid(gate)
 
-Projection weights (~1 MB) and the shared bias [2, H, L, L] stay resident in
-VMEM across the whole grid (their index maps are constant), so HBM traffic
-is just stacked-in + gated-out — the [L,2,H,L,L] logits and the projected
-q/k/v/gate tensors never exist in HBM. The output projection
-("...rhqc,rhco->...qor") remains outside (a single large XLA matmul).
+so neither the logits nor the projected q/k/v/gate tensors ever exist in
+HBM. One pallas_call per axis r (static n_axis=2), grid (H, B) with b
+fastest: the per-(r, h) weight and bias blocks stay VMEM-resident across
+all B batch steps. Design history: a first version fusing only
+logits+softmax was DMA-bound (tiny per-head transfers) and barely beat
+XLA's dense fusions; a second that unrolled all 8 (r, h) pairs inside one
+cell exceeded the 16 MB v5e scoped-VMEM limit (34 MB of live unrolled
+intermediates). The (axis, head) grid keeps per-cell VMEM ~1.5 MB.
 
 Forward-only by design: the GeoFormer runs inference-only in this framework
 (embedding extraction); differentiate the dense path instead
@@ -33,39 +35,62 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-# bias [2, H, L, L] must stay VMEM-resident; past this many residues fall
-# back to the dense XLA path (at large L the dense einsums are MXU-bound
-# anyway, cf. the IPA kernel study in docs/DESIGN.md)
-MAX_FLASH_RES = 512
+# bias/logits blocks are [L, L]; past this many residues fall back to the
+# dense XLA path (at large L the dense einsums are MXU-bound anyway, cf.
+# the IPA kernel study in docs/DESIGN.md)
+MAX_FLASH_RES = 1024
 
 
 def _kernel(x_ref, qg_w_ref, qg_b_ref, kv_w_ref, kv_b_ref, bias_ref, o_ref,
-            *, scale, n_axis, n_head, c):
-    for r in range(n_axis):
-        x = x_ref[0, :, :, r].astype(jnp.float32)  # [L, d]
-        for h in range(n_head):
-            qg = jax.lax.dot_general(
-                x, qg_w_ref[:, r, h, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + qg_b_ref[r, h]  # [L, 2c]
-            kv = jax.lax.dot_general(
-                x, kv_w_ref[:, r, h, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + kv_b_ref[r, h]
-            q, gate = qg[:, :c], qg[:, c:]
-            k, v = kv[:, :c], kv[:, c:]
-            logits = jax.lax.dot_general(
-                q * scale, k, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) + bias_ref[r, h].astype(jnp.float32)  # [L, L]
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            p = jnp.exp(logits - m)
-            out = jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) / jnp.sum(p, axis=-1, keepdims=True)
-            out = out * jax.nn.sigmoid(gate)
-            o_ref[0, r, h] = out.astype(o_ref.dtype)
+            *, scale, c):
+    x = x_ref[0].astype(jnp.float32)  # [L, d]
+    qg = jax.lax.dot_general(
+        x, qg_w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + qg_b_ref[0]  # [L, 2c]
+    kv = jax.lax.dot_general(
+        x, kv_w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + kv_b_ref[0]
+    q, gate = qg[:, :c], qg[:, c:]
+    k, v = kv[:, :c], kv[:, c:]
+    logits = jax.lax.dot_general(
+        q * scale, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[0].astype(jnp.float32)  # [L, L]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    out = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0, 0] = (out * jax.nn.sigmoid(gate)).astype(o_ref.dtype)
+
+
+def _axis_call(x, qg_w, qg_b, kv_w, kv_b, bias, *, c, scale, interpret):
+    """One axis: x [B, L, d]; qg_w/kv_w [H, d, 2c]; qg_b/kv_b [H, 1, 2c];
+    bias [H, L, L] -> gated attention output [B, H, L, c].
+
+    (Head-indexed dims lead so every block's trailing two dims equal the
+    array dims — the Mosaic block-shape rule.)"""
+    B, L, d = x.shape
+    H, two_c = qg_w.shape[0], qg_w.shape[2]
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, c=c),
+        grid=(H, B),  # b fastest: weight/bias blocks resident per head
+        in_specs=[
+            pl.BlockSpec((1, L, d), lambda h, b: (b, 0, 0)),
+            pl.BlockSpec((1, d, two_c), lambda h, b: (h, 0, 0)),
+            pl.BlockSpec((1, 1, two_c), lambda h, b: (h, 0, 0)),
+            pl.BlockSpec((1, d, two_c), lambda h, b: (h, 0, 0)),
+            pl.BlockSpec((1, 1, two_c), lambda h, b: (h, 0, 0)),
+            pl.BlockSpec((1, L, L), lambda h, b: (h, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, L, c), lambda h, b: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H, L, c), x.dtype),
+        interpret=interpret,
+    )(x, qg_w, qg_b, kv_w, kv_b, bias)
+    return out
 
 
 def fused_gated_geom_attention(stacked, qg_w, qg_b, kv_w, kv_b, bias, *,
@@ -91,27 +116,15 @@ def fused_gated_geom_attention(stacked, qg_w, qg_b, kv_w, kv_b, bias, *,
             f"L={L} > MAX_FLASH_RES={MAX_FLASH_RES}; use the dense path"
         )
 
-    qg_b = qg_b.reshape(n_axis, H, two_c)
-    kv_b = kv_b.reshape(n_axis, H, two_c)
-    kernel = functools.partial(
-        _kernel, scale=scale, n_axis=n_axis, n_head=H, c=c
-    )
-    full = lambda *shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape))
-    out = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, L, d, n_axis), lambda b: (b, 0, 0, 0)),
-            full(d, n_axis, H, two_c),
-            full(n_axis, H, two_c),
-            full(d, n_axis, H, two_c),
-            full(n_axis, H, two_c),
-            full(n_axis, H, L, L),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, n_axis, H, L, c), lambda b: (b, 0, 0, 0, 0)
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, n_axis, H, L, c), stacked.dtype),
-        interpret=interpret,
-    )(stacked, qg_w, qg_b, kv_w, kv_b, bias)
-    return out
+    per_axis = []
+    for r in range(n_axis):
+        per_axis.append(_axis_call(
+            stacked[..., r],  # [B, L, d]
+            jnp.transpose(qg_w[:, r], (1, 0, 2)),  # [H, d, 2c]
+            qg_b[r].reshape(H, 1, two_c),
+            jnp.transpose(kv_w[:, r], (1, 0, 2)),
+            kv_b[r].reshape(H, 1, two_c),
+            bias[r],
+            c=c, scale=scale, interpret=interpret,
+        ))
+    return jnp.stack(per_axis, axis=1)  # [B, n_axis, H, L, c]

@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--dtype", choices=["float32", "bfloat16"],
                     default="float32")
+    ap.add_argument("--flash", action="store_true",
+                    help="fused Pallas GeometricAttention (the extraction "
+                         "CLI enables this automatically on TPU)")
     args = ap.parse_args()
 
     from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
@@ -94,7 +97,7 @@ def main():
             num_pseudo_msa=args.pseudo_msa, num_cycle=args.cycles,
         ))
         edge, node, conf = M.omegafold_embed(
-            params, cfg, cycles, jit=True, dtype=dtype
+            params, cfg, cycles, jit=True, dtype=dtype, flash=args.flash
         )
         return np.asarray(node)  # host fetch = the only true barrier
 
@@ -113,6 +116,7 @@ def main():
     print(json.dumps({
         "metric": "omegafold_sequences_per_min_256res_10cyc",
         "dtype": args.dtype,
+        "flash": args.flash,
         "value": round(60.0 / med, 2),
         "unit": "seq/min",
         "vs_target": round((60.0 / med) / 10.0, 2),

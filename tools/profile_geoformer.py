@@ -44,12 +44,21 @@ def main():
 
     from bench_omegafold import build_release_params
     from dynamicpdb_tpu.models.omegafold import model as M
-    from dynamicpdb_tpu.models.omegafold.geoformer import geoformer
+    from dynamicpdb_tpu.models.omegafold.geoformer import (
+        geoformer,
+        geoformer_params_from_torch,
+    )
 
     ref = build_release_params()
-    params, cfg = M.params_from_torch(ref)
-    gp = params.geoformer
-    del params, ref
+    # convert ONLY the geoformer subtree: skips uploading the ~2.5 GB PLM
+    # through the tunnel (minutes per run)
+    gp = geoformer_params_from_torch(ref.omega_fold_cycle.geoformer)
+    c = ref.cfg
+    cfg = M.OmegaFoldConfig(
+        node_dim=c.node_dim, edge_dim=c.edge_dim, attn_c=c.attn_c,
+        geom_c=c.geom_c, geom_head=c.geom_head,
+    )
+    del ref
     leaves = jax.tree_util.tree_leaves(gp)
     float(leaves[0].reshape(-1)[0])
     act = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
