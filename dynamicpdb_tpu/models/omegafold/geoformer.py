@@ -124,16 +124,37 @@ class AttnWEdgeBiasParams(NamedTuple):
 
 
 def attention_w_edge_bias(p: AttnWEdgeBiasParams, node, edge, mask, *,
-                          c: int, gating: bool = True):
+                          c: int, gating: bool = True, flash: bool = False):
     """node [M, L, d]; edge [L, L, de]; mask [M, L] — the FULL pseudo-MSA
     mask: each row gets its own key masking (GeoFormerBlock.forward passes
     the [M, L] mask straight through, geoformer.py:110-115; the bias
-    broadcast at modules.py:527-529 is [M, H, L, L])."""
+    broadcast at modules.py:527-529 is [M, H, L, L]).
+
+    flash=True: the row-shared edge bias and the per-row key mask are kept
+    separate so the fused kernel (fused_gated_node_attention) can hold the
+    bias VMEM-resident across rows; dense-path equivalent to fp tolerance.
+    """
     node = _normalize(node)
     edge = _normalize(edge)
     edge_bias = jnp.einsum("ijd,dh->hij", edge, p.proj_edge_w) + (
         p.proj_edge_b[:, None, None]
     )
+    from dynamicpdb_tpu.ops.pallas.geom_attention import (
+        MAX_FLASH_RES,
+        fused_gated_node_attention,
+    )
+
+    if flash and gating and node.shape[-2] <= MAX_FLASH_RES:
+        a = p.attn
+        out = fused_gated_node_attention(
+            node, a.qg_weights, a.qg_bias, a.kv_weights, a.kv_bias,
+            edge_bias.astype(jnp.float32), mask,
+            c=c, scale=c ** (-0.5),
+        )  # [M, H, L, c]
+        return (
+            jnp.einsum("mhqc,hco->mqo", out, a.o_weights[0])
+            + a.o_bias[:, 0]
+        )
     edge_bias = edge_bias + _mask2bias(mask[..., None, None, :])
     return gated_attention(
         p.attn, node, node, edge_bias,
@@ -298,7 +319,7 @@ def geoformer_block(p: GeoFormerBlockParams, node, edge, mask, *,
                     flash: bool = False, pad_safe: bool = False):
     """node: [M, L, d_node]; edge: [L, L, d_edge]; mask: [M, L]."""
     node = node + attention_w_edge_bias(
-        p.attn_edge_bias, node, edge, mask, c=attn_c
+        p.attn_edge_bias, node, edge, mask, c=attn_c, flash=flash
     )
     # column attention over the pseudo-MSA axis
     node_col = _normalize(jnp.swapaxes(node, -2, -3))

@@ -67,6 +67,82 @@ def _kernel(x_ref, qg_w_ref, qg_b_ref, kv_w_ref, kv_b_ref, bias_ref, o_ref,
     o_ref[0, 0] = (out * jax.nn.sigmoid(gate)).astype(o_ref.dtype)
 
 
+def _kernel_masked(x_ref, qg_w_ref, qg_b_ref, kv_w_ref, kv_b_ref, bias_ref,
+                   kmask_ref, o_ref, *, scale, c, inf=1e9):
+    """_kernel plus a per-batch-row key mask (the AttentionWEdgeBias case:
+    each pseudo-MSA row masks its own keys, geoformer.py bias broadcast)."""
+    x = x_ref[0].astype(jnp.float32)  # [L, d]
+    qg = jax.lax.dot_general(
+        x, qg_w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + qg_b_ref[0]
+    kv = jax.lax.dot_general(
+        x, kv_w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + kv_b_ref[0]
+    q, gate = qg[:, :c], qg[:, c:]
+    k, v = kv[:, :c], kv[:, c:]
+    logits = jax.lax.dot_general(
+        q * scale, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[0].astype(jnp.float32)
+    logits = logits + (kmask_ref[0].astype(jnp.float32) - 1.0) * inf
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    out = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0, 0] = (out * jax.nn.sigmoid(gate)).astype(o_ref.dtype)
+
+
+def fused_gated_node_attention(node, qg_w, qg_b, kv_w, kv_b, bias, kmask, *,
+                               c: int, scale, interpret: bool | None = None):
+    """AttentionWEdgeBias's gated self-attention, fully fused.
+
+    node [M, L, d] (normalized pseudo-MSA rows); qg_w/kv_w [d, 1, H, 2c]
+    (n_axis=1 layout); qg_b/kv_b [1, H, 1, 2c]; bias [H, L, L] (projected
+    edge bias, shared across rows); kmask [M, L] (each row's key mask).
+    Returns the gated attention output [M, H, L, c] (pre output-projection).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    M, L, d = node.shape
+    H, two_c = qg_w.shape[2], qg_w.shape[3]
+    assert two_c == 2 * c, (two_c, c)
+    if L > MAX_FLASH_RES:
+        raise ValueError(
+            f"L={L} > MAX_FLASH_RES={MAX_FLASH_RES}; use the dense path"
+        )
+
+    kmask3 = kmask.reshape(M, 1, L)
+    out = pl.pallas_call(
+        functools.partial(_kernel_masked, scale=scale, c=c),
+        grid=(H, M),  # m fastest: weight/bias blocks resident per head
+        in_specs=[
+            pl.BlockSpec((1, L, d), lambda h, m: (m, 0, 0)),
+            pl.BlockSpec((1, d, two_c), lambda h, m: (h, 0, 0)),
+            pl.BlockSpec((1, 1, two_c), lambda h, m: (h, 0, 0)),
+            pl.BlockSpec((1, d, two_c), lambda h, m: (h, 0, 0)),
+            pl.BlockSpec((1, 1, two_c), lambda h, m: (h, 0, 0)),
+            pl.BlockSpec((1, L, L), lambda h, m: (h, 0, 0)),
+            pl.BlockSpec((1, 1, L), lambda h, m: (m, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, L, c), lambda h, m: (m, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((M, H, L, c), node.dtype),
+        interpret=interpret,
+    )(
+        node,
+        jnp.transpose(qg_w[:, 0], (1, 0, 2)),  # [H, d, 2c]
+        qg_b[0].reshape(H, 1, two_c),
+        jnp.transpose(kv_w[:, 0], (1, 0, 2)),
+        kv_b[0].reshape(H, 1, two_c),
+        bias,
+        kmask3,
+    )
+    return out
+
+
 def _axis_call(x, qg_w, qg_b, kv_w, kv_b, bias, *, c, scale, interpret):
     """One axis: x [B, L, d]; qg_w/kv_w [H, d, 2c]; qg_b/kv_b [H, 1, 2c];
     bias [H, L, L] -> gated attention output [B, H, L, c].

@@ -99,3 +99,34 @@ def test_kernel_rejects_oversize():
         fused_gated_geom_attention(
             stacked, w, b, w, b, jnp.zeros((2, h, L, L)), c=c, scale=1.0
         )
+
+
+def test_attention_w_edge_bias_flash_equals_dense():
+    """flash path of AttentionWEdgeBias (per-row key masks kept separate
+    from the shared edge bias) equals the dense path, including partial
+    pseudo-MSA masks."""
+    M, L, d, de, c, h = 3, 8, 6, 5, 4, 2
+    ks = jax.random.split(jax.random.PRNGKey(2), 8)
+    p = G.AttnWEdgeBiasParams(
+        proj_edge_w=jax.random.normal(ks[0], (de, h)) * 0.3,
+        proj_edge_b=jax.random.normal(ks[1], (h,)) * 0.3,
+        attn=G.AttnParams(
+            qg_weights=jax.random.normal(ks[2], (d, 1, h, 2 * c)) * 0.3,
+            qg_bias=jax.random.normal(ks[3], (1, h, 1, 2 * c)) * 0.1,
+            kv_weights=jax.random.normal(ks[4], (d, 1, h, 2 * c)) * 0.3,
+            kv_bias=jax.random.normal(ks[5], (1, h, 1, 2 * c)) * 0.1,
+            o_weights=jax.random.normal(ks[6], (1, h, c, d)) * 0.3,
+            o_bias=jax.random.normal(ks[7], (d, 1)) * 0.1,
+        ),
+    )
+    node = jnp.asarray(RNG.normal(size=(M, L, d)).astype(np.float32))
+    edge = jnp.asarray(RNG.normal(size=(L, L, de)).astype(np.float32))
+    mask = np.ones((M, L), np.float32)
+    mask[1, 5:] = 0  # partial row mask
+    mask[2, :2] = 0
+    mask = jnp.asarray(mask)
+    dense = G.attention_w_edge_bias(p, node, edge, mask, c=c, flash=False)
+    flash = G.attention_w_edge_bias(p, node, edge, mask, c=c, flash=True)
+    np.testing.assert_allclose(
+        np.asarray(flash), np.asarray(dense), atol=2e-5
+    )
