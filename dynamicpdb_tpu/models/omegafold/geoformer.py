@@ -318,8 +318,13 @@ def geoformer_block(p: GeoFormerBlockParams, node, edge, mask, *,
                     attn_c: int, geom_c: int, geom_head: int,
                     flash: bool = False, pad_safe: bool = False):
     """node: [M, L, d_node]; edge: [L, L, d_edge]; mask: [M, L]."""
+    # NOT flash: measured on v5e at release dims, flashing this attention
+    # is net-negative (6.31 vs 6.23 s/seq and 4x the compile time) — its
+    # dense projections are already large efficient matmuls and the logits
+    # tensor is only [M, H, L, L] = 33 MB. The fused path remains available
+    # (attention_w_edge_bias(flash=True)) for other shape regimes.
     node = node + attention_w_edge_bias(
-        p.attn_edge_bias, node, edge, mask, c=attn_c, flash=flash
+        p.attn_edge_bias, node, edge, mask, c=attn_c
     )
     # column attention over the pseudo-MSA axis
     node_col = _normalize(jnp.swapaxes(node, -2, -3))
