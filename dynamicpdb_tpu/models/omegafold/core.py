@@ -16,7 +16,34 @@ from __future__ import annotations
 import math
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
+
+
+def layer_norm_f32(x, weight=None, bias=None, eps=1e-5,
+                   unbiased: bool = False):
+    """LayerNorm with statistics computed in f32 — the ONE shared
+    implementation behind every OmegaFold-module normalize (utils.normalize
+    / torch LayerNorm; reference torch_utils.py:74-80).
+
+    Stats in f32 is an exact no-op for f32 input and keeps the opt-in bf16
+    inference path stable (a bf16 mean/var over 1280-dim rows loses ~3
+    decimal digits). ``unbiased=True`` mirrors torch.var's unbiased
+    estimator used by utils.normalize(in_place=True).
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    if unbiased:
+        n = x.shape[-1]
+        var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(
+            n - 1, 1
+        )
+    else:
+        var = jnp.var(xf, axis=-1, keepdims=True)
+    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    if weight is not None:
+        y = y * weight + bias
+    return y
 
 
 def attention(query, key, scale, value, bias, *, return_edge: bool = False,

@@ -20,15 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from dynamicpdb_tpu.models.omegafold.core import attention
-
-
-def _normalize(x, eps=1e-5):
-    # stats in f32: under the opt-in bf16 inference path a bf16 mean/var
-    # over 1280-dim rows loses ~3 decimal digits (exact no-op for f32 input)
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    return (((xf - mean) * jax.lax.rsqrt(var + eps))).astype(x.dtype)
+from dynamicpdb_tpu.models.omegafold.core import layer_norm_f32 as _normalize
 
 
 def _mask2bias(mask, inf=1e9):
@@ -74,12 +66,17 @@ def gated_attention(p: AttnParams, q_inputs, kv_inputs, bias, *,
         if bias is not None:
             bias = jnp.expand_dims(bias, -4)
 
-    if flash and not to_unsqueeze and q_inputs.shape[-3] <= MAX_FLASH_RES:
+    if (
+        flash
+        and not to_unsqueeze
+        and q_inputs is kv_inputs  # kernel computes SELF-attention from
+        # q_inputs only; a distinct same-shape kv would be silently ignored
+        and q_inputs.shape[-3] <= MAX_FLASH_RES
+    ):
         assert gating and bias.ndim == 4 and q_inputs.ndim == 4, (
             gating, bias.shape, q_inputs.shape,
         )
         assert bias.shape[0] == n_axis == q_inputs.shape[-1]
-        assert q_inputs is kv_inputs or q_inputs.shape == kv_inputs.shape
         out = fused_gated_geom_attention(
             q_inputs, p.qg_weights, p.qg_bias, p.kv_weights, p.kv_bias,
             bias, c=c, scale=c ** (-0.5),

@@ -90,13 +90,11 @@ class OmegaFoldParams(NamedTuple):
 
 def _normalize_unbiased(x, eps=1e-5):
     """utils.normalize(in_place=True) uses torch.var's UNBIASED estimator
-    (torch_utils.py:74-80) — mirrored exactly. Stats in f32 (exact no-op
-    for f32 input; keeps the opt-in bf16 path stable)."""
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    n = x.shape[-1]
-    var = jnp.sum((xf - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
-    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+    (torch_utils.py:74-80) — mirrored exactly via the shared f32-stats
+    layer norm."""
+    from dynamicpdb_tpu.models.omegafold.core import layer_norm_f32
+
+    return layer_norm_f32(x, eps=eps, unbiased=True)
 
 
 def get_all_confidence(plddt, ca_pos, mask, cutoff: float = 15.0):

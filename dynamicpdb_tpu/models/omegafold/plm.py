@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from dynamicpdb_tpu.models.omegafold.core import (
+    layer_norm_f32 as _layer_norm,
     GAUParams,
     gated_attention_unit,
     gau_qk_scaling,
@@ -41,18 +42,6 @@ class PLMParams(NamedTuple):
     layers: GAUParams  # GAUParams with a leading [num_layers] axis per leaf
     out_ln_weight: jnp.ndarray  # [node]
     out_ln_bias: jnp.ndarray
-
-
-def _layer_norm(x, weight=None, bias=None, eps=1e-5):
-    # stats in f32: under the opt-in bf16 inference path a bf16 mean/var
-    # over 1280-dim rows loses ~3 decimal digits (exact no-op for f32 input)
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    y = ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
-    if weight is not None:
-        y = y * weight + bias
-    return y
 
 
 def _finetuning_scale(cfg: PLMConfig, mask, tokens):

@@ -19,6 +19,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from dynamicpdb_tpu.models.omegafold.core import layer_norm_f32 as _normalize
+
 
 def quaternion_to_matrix(q):
     """pytorch3d convention; accepts (..., 4) or (..., 3) (real part = 1)."""
@@ -37,17 +39,8 @@ def quaternion_to_matrix(q):
     return o.reshape(q.shape[:-1] + (3, 3))
 
 
-def _normalize(x, eps=1e-5):
-    # stats in f32: under the opt-in bf16 inference path a bf16 mean/var
-    # over 1280-dim rows loses ~3 decimal digits (exact no-op for f32 input)
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.var(xf, axis=-1, keepdims=True)
-    return (((xf - mean) * jax.lax.rsqrt(var + eps))).astype(x.dtype)
-
-
 def _ln(x, w, b, eps=1e-5):
-    return _normalize(x, eps) * w + b
+    return _normalize(x, eps=eps) * w + b
 
 
 class LinearParams(NamedTuple):

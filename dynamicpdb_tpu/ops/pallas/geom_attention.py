@@ -37,7 +37,9 @@ from jax.experimental import pallas as pl
 
 # bias/logits blocks are [L, L]; past this many residues fall back to the
 # dense XLA path (at large L the dense einsums are MXU-bound anyway, cf.
-# the IPA kernel study in docs/DESIGN.md)
+# the IPA kernel study in docs/DESIGN.md). Hardware-validated bound:
+# compile+execute checked on v5e at L in {512, 768, 1024} (per-cell live
+# VMEM at 1024 ~= 14 MB, inside the 16 MB scoped limit)
 MAX_FLASH_RES = 1024
 
 

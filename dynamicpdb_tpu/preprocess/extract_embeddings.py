@@ -86,11 +86,12 @@ def extract_embeddings(
             pad_safe=bool(pad_multiple),
         )
         n = cycles[0].get("num_res", node.shape[0])
+        padded = cycles[0]["p_msa"].shape[-1]
         edge, node = edge[:n, :n], node[:n]
         log.info(
-            "%s: %d res (padded to %d), %d cycles, confidence %.3f (%.1fs)",
-            name, n, cycles[0]["p_msa"].shape[-1], num_cycles, conf,
-            time.time() - t0,
+            "%s: %d res%s, %d cycles, confidence %.3f (%.1fs)",
+            name, n, f" (padded to {padded})" if padded != n else "",
+            num_cycles, conf, time.time() - t0,
         )
         yield name, {
             "node_repr": np.asarray(node),

@@ -1,19 +1,34 @@
 """AMSGrad with configurable optimizer-state dtype.
 
 The reference trains with torch Adam(amsgrad=True) (train_DFOLD_dynamics.py
-:412); optax.amsgrad reproduces that math exactly (tests/test_optim.py).
+:412); this framework has always used optax's AMSGrad formulation, which
+differs from torch's in one detail: torch takes the running max of the
+UNCORRECTED second moment and bias-corrects that max, while optax (and
+this module, which is bit-compatible with optax.amsgrad at f32 state —
+tests/test_optim.py) maxes the bias-CORRECTED nu_hat. The denominators
+differ slightly whenever the max was attained at an earlier step; both are
+standard AMSGrad.
+
 On TPU the optimizer pass is the single largest slice of a flagship train
 step — pure HBM traffic over params + three f32 moments (docs/DESIGN.md:
 40% of device time at B=1). Storing the moments in bfloat16 halves that
-traffic; all arithmetic still happens in f32 (moments are upcast, updated,
-then cast back), so the only difference from f32 state is rounding of the
-stored accumulators.
+traffic (+16% steps/sec at B=1, measured); all arithmetic still happens in
+f32 (moments are upcast, updated, then cast back), so the only difference
+from f32 state is rounding of the stored accumulators.
 
-``amsgrad(lr, state_dtype=None)`` is a drop-in for ``optax.amsgrad``:
-with ``state_dtype=None`` the update sequence is bit-identical to optax's
-(same update_moment / bias_correction ordering); with
-``state_dtype=jnp.bfloat16`` the mu/nu/nu_max accumulators are stored in
-bf16. Enabled via ``experiment.opt_state_dtype: bfloat16``.
+Known bf16 quantization property: with b2=0.999 the per-step second-moment
+update is 0.1% relative, below half a bf16 ULP (~0.2%), so the STORED nu
+only moves once ``g**2`` departs from nu by more than ~2x — nu tracks
+gradient-scale changes of >~sqrt(3) immediately but is quantization-frozen
+under slower drift. For AMSGrad specifically the downward direction is
+moot (nu_max is monotone by design); the residual risk is a slow UPWARD
+drift in gradient scale being tracked late (transiently oversized steps).
+Convergence on the single-protein proof is indistinguishable from f32
+(docs/artifacts/train_proof_bf16state.json); for very long production runs
+where gradient scale drifts slowly, prefer the default f32 state
+(``opt_state_dtype: null``) or monitor grad_norm.
+
+Enabled via ``experiment.opt_state_dtype: bfloat16``.
 """
 from __future__ import annotations
 
