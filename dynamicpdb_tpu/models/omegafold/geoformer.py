@@ -40,25 +40,11 @@ class AttnParams(NamedTuple):
 
 
 def gated_attention(p: AttnParams, q_inputs, kv_inputs, bias, *,
-                    c: int, gating: bool, n_axis: int, q_dim: int,
-                    flash: bool = False):
+                    c: int, gating: bool, n_axis: int, q_dim: int):
     """q_inputs/kv_inputs: (*, len, dim[, n_axis]); bias broadcastable to
-    (*, n_axis, H, q_len, kv_len).
-
-    flash=True (TPU inference): the whole gated attention — q/k/v/gate
-    projections, biased softmax, value contraction, sigmoid gating — runs
-    as ONE Pallas kernel per batch row, so neither the [B, axis, H, L, L]
-    logits tensor nor the projected q/k/v ever reach HBM
-    (ops/pallas/geom_attention.py). Requires self-attention over a
-    batch-independent bias ([axis, H, Lq, Lk]) with gating — the
-    GeometricAttention case; falls back to the dense path for L >
-    MAX_FLASH_RES.
-    """
-    from dynamicpdb_tpu.ops.pallas.geom_attention import (
-        MAX_FLASH_RES,
-        fused_gated_geom_attention,
-    )
-
+    (*, n_axis, H, q_len, kv_len). (Fused Pallas variants live in
+    ops/pallas/geom_attention.py and are dispatched by the specific
+    attention wrappers, not here.)"""
     to_unsqueeze = q_inputs.shape[-1] != n_axis and q_inputs.shape[-1] == q_dim
     if to_unsqueeze:
         q_inputs = q_inputs[..., None]
@@ -66,35 +52,13 @@ def gated_attention(p: AttnParams, q_inputs, kv_inputs, bias, *,
         if bias is not None:
             bias = jnp.expand_dims(bias, -4)
 
-    if (
-        flash
-        and not to_unsqueeze
-        and q_inputs is kv_inputs  # kernel computes SELF-attention from
-        # q_inputs only; a distinct same-shape kv would be silently ignored
-        and q_inputs.shape[-3] <= MAX_FLASH_RES
-    ):
-        assert gating and bias.ndim == 4 and q_inputs.ndim == 4, (
-            gating, bias.shape, q_inputs.shape,
-        )
-        assert bias.shape[0] == n_axis == q_inputs.shape[-1]
-        out = fused_gated_geom_attention(
-            q_inputs, p.qg_weights, p.qg_bias, p.kv_weights, p.kv_bias,
-            bias, c=c, scale=c ** (-0.5),
-        )
-    else:
-        qg = (
-            jnp.einsum("...qar,arhc->...rhqc", q_inputs, p.qg_weights)
-            + p.qg_bias
-        )
-        q = qg[..., :c]
-        kv = (
-            jnp.einsum("...kar,arhc->...rhkc", kv_inputs, p.kv_weights)
-            + p.kv_bias
-        )
-        k, v = kv[..., :c], kv[..., c:]
-        out, _ = attention(q, k, c ** (-0.5), v, bias)
-        if gating:
-            out = out * jax.nn.sigmoid(qg[..., c:])
+    qg = jnp.einsum("...qar,arhc->...rhqc", q_inputs, p.qg_weights) + p.qg_bias
+    q = qg[..., :c]
+    kv = jnp.einsum("...kar,arhc->...rhkc", kv_inputs, p.kv_weights) + p.kv_bias
+    k, v = kv[..., :c], kv[..., c:]
+    out, _ = attention(q, k, c ** (-0.5), v, bias)
+    if gating:
+        out = out * jax.nn.sigmoid(qg[..., c:])
 
     out = jnp.einsum("...rhqc,rhco->...qor", out, p.o_weights) + p.o_bias
     if to_unsqueeze:
@@ -251,38 +215,71 @@ def geometric_attention(p: GeomAttnParams, edge, mask, *, c: int, n_head: int,
     padded extraction (pipeline pad_to) so padding cannot perturb real
     positions.
     """
+    from dynamicpdb_tpu.ops.pallas.geom_attention import (
+        MAX_FLASH_RES,
+        fused_gated_geom_attention_t,
+    )
+
     d = edge.shape[-1]
     edge = _normalize(edge)
-    stacked = jnp.stack([edge, jnp.swapaxes(edge, -2, -3)], axis=-1)
+    use_flash = flash and edge.shape[-2] <= MAX_FLASH_RES
+    # The two layouts hold the same [edge, edge^T] pair; AXIS-MAJOR feeds
+    # the fused kernel directly (per-(row, axis) blocks are contiguous), so
+    # the flash path never materializes the axis-minor tensor (and vice
+    # versa) — the einsum subscripts below absorb the difference.
+    if use_flash:
+        stacked_t = jnp.stack(
+            [edge, jnp.swapaxes(edge, -2, -3)], axis=-3
+        )  # [B, n_axis, L, d]
+        sub_b = "qrkc,crh->rhqk"
+        sub_row, sub_col, sub_g = (
+            "irkd,drc->ikrc", "jrkd,drc->jkrc", "irjd,drc->ijrc",
+        )
+        stacked = stacked_t
+    else:
+        stacked = jnp.stack([edge, jnp.swapaxes(edge, -2, -3)], axis=-1)
+        sub_b = "qkcr,crh->rhqk"
+        sub_row, sub_col, sub_g = (
+            "ikdr,drc->ikrc", "jkdr,drc->jkrc", "ijdr,drc->ijrc",
+        )
 
     # attended branch: two-axis gated attention with projected edge bias.
     # NOTE: the reference initializes b with mask2bias and then fully
     # overwrites it with this einsum (modules.py:619-645) — its mask never
     # reaches the attended branch; mirrored here for parity (pad_safe
     # restores the key masking).
-    b = jnp.einsum("qkcr,crh->rhqk", stacked, p.linear_b_w) + p.linear_b_b
+    b = jnp.einsum(sub_b, stacked, p.linear_b_w) + p.linear_b_b
     if pad_safe:
         b = b + _mask2bias(mask)[None, None, None, :]
-    attended = gated_attention(
-        p.attn, stacked, stacked, b, c=c, gating=True, n_axis=2, q_dim=d,
-        flash=flash,
-    )
+    if use_flash:
+        a = p.attn
+        out5 = fused_gated_geom_attention_t(
+            stacked_t, a.qg_weights, a.qg_bias, a.kv_weights, a.kv_bias,
+            b, c=c, scale=c ** (-0.5),
+        )  # [B, n_axis, H, L, c], gating applied in-kernel
+        attended = (
+            jnp.einsum("...rhqc,rhco->...qor", out5, a.o_weights) + a.o_bias
+        )
+    else:
+        attended = gated_attention(
+            p.attn, stacked, stacked, b, c=c, gating=True, n_axis=2, q_dim=d,
+        )
     attended = attended[..., 0] + jnp.swapaxes(attended[..., 1], -2, -3)
 
     # gated (triangle-multiplicative) branch
     row_w, row_b = _sliced(p.act_w, d, 0), _sliced(p.act_b, d, 0)
     col_w, col_b = _sliced(p.act_w, d, 1), _sliced(p.act_b, d, 1)
-    act_row = _glu(jnp.einsum("ikdr,drc->ikrc", stacked, row_w) + row_b)
+    act_row = _glu(jnp.einsum(sub_row, stacked, row_w) + row_b)
     act_row = act_row * mask[:, None, None, None]
     if pad_safe:
         act_row = act_row * mask[None, :, None, None]  # summed-out k axis
-    act_col = _glu(jnp.einsum("jkdr,drc->jkrc", stacked, col_w) + col_b)
+    act_col = _glu(jnp.einsum(sub_col, stacked, col_w) + col_b)
     act_col = act_col * mask[:, None, None, None]
     ab = jnp.einsum("ikrd,jkrd->ijrd", act_row, act_col)
     ab = _normalize(ab)
     gated = jnp.einsum("ijrd,rdc->ijrc", ab, p.out_proj_w) + p.out_proj_b
     act_g = jax.nn.sigmoid(
-        jnp.einsum("ijdr,drc->ijrc", stacked, p.act_w[..., -d:])
+        jnp.einsum(sub_g, stacked, p.act_w[..., -d:])
         + p.act_b[..., -d:]
     )
     gated = gated * act_g[:, : gated.shape[1]]

@@ -15,13 +15,17 @@ cycle. This kernel fuses the whole gated attention for one
                             * sigmoid(gate)
 
 so neither the logits nor the projected q/k/v/gate tensors ever exist in
-HBM. One pallas_call per axis r (static n_axis=2), grid (H, B) with b
-fastest: the per-(r, h) weight and bias blocks stay VMEM-resident across
-all B batch steps. Design history: a first version fusing only
-logits+softmax was DMA-bound (tiny per-head transfers) and barely beat
-XLA's dense fusions; a second that unrolled all 8 (r, h) pairs inside one
-cell exceeded the 16 MB v5e scoped-VMEM limit (34 MB of live unrolled
-intermediates). The (axis, head) grid keeps per-cell VMEM ~1.5 MB.
+HBM. ONE pallas_call over grid (n_axis*H, B) with b fastest: the
+per-(r, h) weight and bias blocks stay VMEM-resident across all B batch
+steps, the axis index is recovered in the index maps as g // H, and the
+output lands directly in [B, n_axis*H, L, c] (free reshape). Design
+history: a first version fusing only logits+softmax was DMA-bound (tiny
+per-head transfers) and barely beat XLA's dense fusions; a second that
+unrolled all 8 (r, h) pairs inside one cell exceeded the 16 MB v5e
+scoped-VMEM limit (34 MB of live unrolled intermediates); a third ran one
+call per axis and spent 0.6 ms/block jnp.stack-ing the two outputs. The
+(axis*head, batch) grid keeps per-cell VMEM ~1.5 MB with no stitch-up
+copies.
 
 Forward-only by design: the GeoFormer runs inference-only in this framework
 (embedding extraction); differentiate the dense path instead
@@ -45,7 +49,7 @@ MAX_FLASH_RES = 1024
 
 def _kernel(x_ref, qg_w_ref, qg_b_ref, kv_w_ref, kv_b_ref, bias_ref, o_ref,
             *, scale, c):
-    x = x_ref[0].astype(jnp.float32)  # [L, d]
+    x = x_ref[0, 0].astype(jnp.float32)  # [L, d]
     qg = jax.lax.dot_general(
         x, qg_w_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -145,64 +149,68 @@ def fused_gated_node_attention(node, qg_w, qg_b, kv_w, kv_b, bias, kmask, *,
     return out
 
 
-def _axis_call(x, qg_w, qg_b, kv_w, kv_b, bias, *, c, scale, interpret):
-    """One axis: x [B, L, d]; qg_w/kv_w [H, d, 2c]; qg_b/kv_b [H, 1, 2c];
-    bias [H, L, L] -> gated attention output [B, H, L, c].
+def fused_gated_geom_attention_t(stacked_t, qg_w, qg_b, kv_w, kv_b, bias, *,
+                                 c: int, scale,
+                                 interpret: bool | None = None):
+    """Gated two-axis attention of GeometricAttention, fully fused, taking
+    the AXIS-MAJOR stacked edge tensor.
 
-    (Head-indexed dims lead so every block's trailing two dims equal the
-    array dims — the Mosaic block-shape rule.)"""
-    B, L, d = x.shape
-    H, two_c = qg_w.shape[0], qg_w.shape[2]
-    out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, c=c),
-        grid=(H, B),  # b fastest: weight/bias blocks resident per head
-        in_specs=[
-            pl.BlockSpec((1, L, d), lambda h, b: (b, 0, 0)),
-            pl.BlockSpec((1, d, two_c), lambda h, b: (h, 0, 0)),
-            pl.BlockSpec((1, 1, two_c), lambda h, b: (h, 0, 0)),
-            pl.BlockSpec((1, d, two_c), lambda h, b: (h, 0, 0)),
-            pl.BlockSpec((1, 1, two_c), lambda h, b: (h, 0, 0)),
-            pl.BlockSpec((1, L, L), lambda h, b: (h, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 1, L, c), lambda h, b: (b, h, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, H, L, c), x.dtype),
-        interpret=interpret,
-    )(x, qg_w, qg_b, kv_w, kv_b, bias)
-    return out
-
-
-def fused_gated_geom_attention(stacked, qg_w, qg_b, kv_w, kv_b, bias, *,
-                               c: int, scale, interpret: bool | None = None):
-    """Gated two-axis attention of GeometricAttention, fully fused.
-
-    stacked [B, L, d, n_axis] (B == L: each row attends within its row/col);
-    qg_w/kv_w [d, n_axis, H, 2c]; qg_b/kv_b [n_axis, H, 1, 2c];
-    bias [n_axis, H, L, L] shared over B. Returns the GATED attention output
-    [B, n_axis, H, L, c] (pre output-projection), matching
+    stacked_t [B, n_axis, L, d] (B == L: each row attends within its
+    row/col); qg_w/kv_w [d, n_axis, H, 2c]; qg_b/kv_b [n_axis, H, 1, 2c];
+    bias [n_axis, H, L, L] shared over B. Returns the GATED attention
+    output [B, n_axis, H, L, c] (pre output-projection), matching
     core.attention's softmax sequence + sigmoid gating to fp reassociation.
+
+    ONE pallas_call over grid (n_axis*H, B): the axis index is recovered in
+    the index maps as g // H, and the output lands directly in
+    [B, n_axis*H, L, c] layout (free reshape to [B, n_axis, H, L, c]) — an
+    earlier two-calls-plus-jnp.stack variant spent 0.6 ms/block on the
+    stack's layout copy alone.
 
     interpret=None auto-selects the Pallas interpreter off-TPU (same code
     path testable on CPU).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    B, L, d, n_axis = stacked.shape
+    B, n_axis, L, d = stacked_t.shape
     H, two_c = qg_w.shape[2], qg_w.shape[3]
     assert two_c == 2 * c, (two_c, c)
     if L > MAX_FLASH_RES:
         raise ValueError(
             f"L={L} > MAX_FLASH_RES={MAX_FLASH_RES}; use the dense path"
         )
+    G = n_axis * H
+    # axis-major flattening: g = r * H + h
+    qg_w_g = jnp.transpose(qg_w, (1, 2, 0, 3)).reshape(G, d, two_c)
+    kv_w_g = jnp.transpose(kv_w, (1, 2, 0, 3)).reshape(G, d, two_c)
+    qg_b_g = qg_b.reshape(G, 1, two_c)
+    kv_b_g = kv_b.reshape(G, 1, two_c)
+    bias_g = bias.reshape(G, L, L)
 
-    per_axis = []
-    for r in range(n_axis):
-        per_axis.append(_axis_call(
-            stacked[..., r],  # [B, L, d]
-            jnp.transpose(qg_w[:, r], (1, 0, 2)),  # [H, d, 2c]
-            qg_b[r].reshape(H, 1, two_c),
-            jnp.transpose(kv_w[:, r], (1, 0, 2)),
-            kv_b[r].reshape(H, 1, two_c),
-            bias[r],
-            c=c, scale=scale, interpret=interpret,
-        ))
-    return jnp.stack(per_axis, axis=1)  # [B, n_axis, H, L, c]
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, c=c),
+        grid=(G, B),  # b fastest: per-(axis, head) blocks stay resident
+        in_specs=[
+            pl.BlockSpec((1, 1, L, d), lambda g, b: (b, g // H, 0, 0)),
+            pl.BlockSpec((1, d, two_c), lambda g, b: (g, 0, 0)),
+            pl.BlockSpec((1, 1, two_c), lambda g, b: (g, 0, 0)),
+            pl.BlockSpec((1, d, two_c), lambda g, b: (g, 0, 0)),
+            pl.BlockSpec((1, 1, two_c), lambda g, b: (g, 0, 0)),
+            pl.BlockSpec((1, L, L), lambda g, b: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, L, c), lambda g, b: (b, g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, G, L, c), stacked_t.dtype),
+        interpret=interpret,
+    )(stacked_t, qg_w_g, qg_b_g, kv_w_g, kv_b_g, bias_g)
+    return out.reshape(B, n_axis, H, L, c)
+
+
+def fused_gated_geom_attention(stacked, qg_w, qg_b, kv_w, kv_b, bias, *,
+                               c: int, scale, interpret: bool | None = None):
+    """Axis-minor wrapper: stacked [B, L, d, n_axis] (the dense-path layout)
+    -> fused_gated_geom_attention_t. Prefer the _t entry point when the
+    caller can build the axis-major tensor directly (saves a transpose)."""
+    return fused_gated_geom_attention_t(
+        jnp.transpose(stacked, (0, 3, 1, 2)), qg_w, qg_b, kv_w, kv_b, bias,
+        c=c, scale=scale, interpret=interpret,
+    )
