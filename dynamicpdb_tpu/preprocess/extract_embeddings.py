@@ -55,6 +55,7 @@ def extract_embeddings(
     dtype=None,
     flash: bool = False,
     pad_multiple: int = 0,
+    scan_cycles: bool = True,
 ):
     """Yield (name, {node_repr, edge_repr, confidence}) per sequence.
 
@@ -64,10 +65,14 @@ def extract_embeddings(
     of pad_multiple residues instead of a fresh ~40 s XLA compile per
     distinct sequence length (outputs are sliced back to the true length;
     runs the pad_safe masking, see models/omegafold/pipeline.py).
+    scan_cycles: run the recycling loop as one device computation
+    (on-device best-cycle selection — removes 10 host round-trips per
+    sequence; identical outputs). Requires jit.
     """
     from dynamicpdb_tpu.models.omegafold.model import (
         _cast_float_leaves,
         omegafold_embed,
+        omegafold_embed_scan,
     )
     from dynamicpdb_tpu.models.omegafold.pipeline import fasta2inputs
 
@@ -81,10 +86,16 @@ def extract_embeddings(
         pad_multiple=pad_multiple,
     ):
         t0 = time.time()
-        edge, node, conf = omegafold_embed(
-            params, cfg, cycles, jit=jit, dtype=dtype, flash=flash,
-            pad_safe=bool(pad_multiple),
-        )
+        if scan_cycles and jit:
+            edge, node, conf = omegafold_embed_scan(
+                params, cfg, cycles, dtype=dtype, flash=flash,
+                pad_safe=bool(pad_multiple),
+            )
+        else:
+            edge, node, conf = omegafold_embed(
+                params, cfg, cycles, jit=jit, dtype=dtype, flash=flash,
+                pad_safe=bool(pad_multiple),
+            )
         n = cycles[0].get("num_res", node.shape[0])
         padded = cycles[0]["p_msa"].shape[-1]
         edge, node = edge[:n, :n], node[:n]

@@ -277,3 +277,29 @@ def test_pad_safe_noop_when_unpadded():
     a = G.geometric_attention(p, edge, ones, c=c, n_head=h, pad_safe=False)
     b = G.geometric_attention(p, edge, ones, c=c, n_head=h, pad_safe=True)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_scan_embed_matches_loop():
+    """omegafold_embed_scan (one device computation, on-device best-cycle
+    argmax) must reproduce the python-loop omegafold_embed exactly."""
+    ref = _build_ref()
+    params, cfg = M.params_from_torch(ref)
+    _, cycles = next(P.fasta2inputs(FASTA, num_pseudo_msa=2, num_cycle=3))
+    e_loop, n_loop, c_loop = M.omegafold_embed(params, cfg, cycles, jit=True)
+    e_scan, n_scan, c_scan = M.omegafold_embed_scan(params, cfg, cycles)
+    np.testing.assert_allclose(np.asarray(n_scan), np.asarray(n_loop),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e_scan), np.asarray(e_loop),
+                               atol=1e-5)
+    assert abs(c_scan - c_loop) < 1e-5
+
+    # predict_with_confidence=False: outputs = last cycle, conf = running max
+    e2, n2, c2 = M.omegafold_embed(params, cfg, cycles, jit=True,
+                                   predict_with_confidence=False)
+    e2s, n2s, c2s = M.omegafold_embed_scan(
+        params, cfg, cycles, predict_with_confidence=False
+    )
+    np.testing.assert_allclose(np.asarray(n2s), np.asarray(n2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(e2s), np.asarray(e2), atol=1e-5)
+    assert abs(c2s - c2) < 1e-5

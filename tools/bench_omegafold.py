@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--flash", action="store_true",
                     help="fused Pallas GeometricAttention (the extraction "
                          "CLI enables this automatically on TPU)")
+    ap.add_argument("--scan", action="store_true",
+                    help="lax.scan recycling loop with on-device best-cycle "
+                         "selection (extraction CLI default)")
     args = ap.parse_args()
 
     from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
@@ -96,9 +99,14 @@ def main():
             [f">{seed_name}\n", seq + "\n"],
             num_pseudo_msa=args.pseudo_msa, num_cycle=args.cycles,
         ))
-        edge, node, conf = M.omegafold_embed(
-            params, cfg, cycles, jit=True, dtype=dtype, flash=args.flash
-        )
+        if args.scan:
+            edge, node, conf = M.omegafold_embed_scan(
+                params, cfg, cycles, dtype=dtype, flash=args.flash
+            )
+        else:
+            edge, node, conf = M.omegafold_embed(
+                params, cfg, cycles, jit=True, dtype=dtype, flash=args.flash
+            )
         return np.asarray(node)  # host fetch = the only true barrier
 
     t0 = time.time()
@@ -117,6 +125,7 @@ def main():
         "metric": "omegafold_sequences_per_min_256res_10cyc",
         "dtype": args.dtype,
         "flash": args.flash,
+        "scan": args.scan,
         "value": round(60.0 / med, 2),
         "unit": "seq/min",
         "vs_target": round((60.0 / med) / 10.0, 2),
