@@ -133,6 +133,9 @@ def main(argv=None):
                              "compile per bucket instead of per distinct "
                              "sequence length; 0 = exact shapes "
                              "(reference-parity)")
+    parser.add_argument("--no-scan", action="store_true",
+                        help="run the recycling loop on host (one dispatch "
+                             "per cycle) instead of the on-device scan")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -156,7 +159,7 @@ def main(argv=None):
     for name, arrays in extract_embeddings(
         lines, params, cfg, dtype=dtype, flash=flash,
         num_cycles=args.num_cycles, num_pseudo_msa=args.num_pseudo_msa,
-        pad_multiple=args.pad_multiple,
+        pad_multiple=args.pad_multiple, scan_cycles=not args.no_scan,
     ):
         out = os.path.join(args.out_dir, f"{name}.npz")
         np.savez_compressed(out, **arrays)
