@@ -60,10 +60,16 @@ def gated_attention(p: AttnParams, q_inputs, kv_inputs, bias, *,
     if gating:
         out = out * jax.nn.sigmoid(qg[..., c:])
 
-    out = jnp.einsum("...rhqc,rhco->...qor", out, p.o_weights) + p.o_bias
+    out = _attn_out_proj(out, p)
     if to_unsqueeze:
         out = out[..., 0]
     return out
+
+
+def _attn_out_proj(out, p: AttnParams):
+    """Per-axis output projection shared by the dense path and the fused
+    Pallas paths (which apply it after their kernels)."""
+    return jnp.einsum("...rhqc,rhco->...qor", out, p.o_weights) + p.o_bias
 
 
 def attn_params_from_torch(mod) -> AttnParams:
@@ -112,10 +118,7 @@ def attention_w_edge_bias(p: AttnWEdgeBiasParams, node, edge, mask, *,
             edge_bias.astype(jnp.float32), mask,
             c=c, scale=c ** (-0.5),
         )  # [M, H, L, c]
-        return (
-            jnp.einsum("mhqc,hco->mqo", out, a.o_weights[0])
-            + a.o_bias[:, 0]
-        )
+        return _attn_out_proj(out[:, None], a)[..., 0]
     edge_bias = edge_bias + _mask2bias(mask[..., None, None, :])
     return gated_attention(
         p.attn, node, node, edge_bias,
@@ -257,9 +260,7 @@ def geometric_attention(p: GeomAttnParams, edge, mask, *, c: int, n_head: int,
             stacked_t, a.qg_weights, a.qg_bias, a.kv_weights, a.kv_bias,
             b, c=c, scale=c ** (-0.5),
         )  # [B, n_axis, H, L, c], gating applied in-kernel
-        attended = (
-            jnp.einsum("...rhqc,rhco->...qor", out5, a.o_weights) + a.o_bias
-        )
+        attended = _attn_out_proj(out5, a)
     else:
         attended = gated_attention(
             p.attn, stacked, stacked, b, c=c, gating=True, n_axis=2, q_dim=d,

@@ -284,29 +284,34 @@ def _jitted_scan_embed(cfg: OmegaFoldConfig, flash: bool, pad_safe: bool,
             prev_node, prev_edge, prev_x, best_conf, best_node, best_edge = (
                 carry
             )
-            pm, pk = xs
+            i, pm, pk = xs
             node_out, edge, conf, (pn, pe, px) = omegafold_cycle(
                 params, cfg, pm, pk, prev_node, prev_edge, prev_x,
                 flash=flash, pad_safe=pad_safe,
             )
             if predict_with_confidence:
-                # strictly greater: first cycle wins ties (init -1 ensures
-                # the first cycle always populates the best slot)
-                better = conf > best_conf
-                best_conf = jnp.where(better, conf, best_conf)
+                # loop semantics exactly (`conf > max_conf or final is
+                # None`): strictly greater, first cycle always populates —
+                # via the explicit i == 0 term so a NaN conf (which fails
+                # every comparison) still leaves the FIRST cycle's outputs
+                # in place rather than zeros, and best_conf mirrors
+                # python's max() (NaN never replaces)
+                better = (conf > best_conf) | (i == 0)
+                best_conf = jnp.where(conf > best_conf, conf, best_conf)
             else:
                 # loop semantics: outputs follow the LAST cycle, while the
                 # returned confidence is still the running max
                 better = jnp.bool_(True)
-                best_conf = jnp.maximum(best_conf, conf)
+                best_conf = jnp.where(conf > best_conf, conf, best_conf)
             best_node = jnp.where(better, node_out, best_node)
             best_edge = jnp.where(better, edge, best_edge)
             return (pn, pe, px, best_conf, best_node, best_edge), None
 
         init = (prev_node, prev_edge, prev_x,
-                jnp.float32(-1.0), best_node, best_edge)
+                jnp.float32(0.0), best_node, best_edge)
+        n_cyc = p_msa.shape[0]
         (_, _, _, best_conf, best_node, best_edge), _ = jax.lax.scan(
-            body, init, (p_msa, p_mask)
+            body, init, (jnp.arange(n_cyc), p_msa, p_mask)
         )
         return best_edge, best_node, best_conf
 

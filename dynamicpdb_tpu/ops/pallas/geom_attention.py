@@ -29,7 +29,7 @@ copies.
 
 Forward-only by design: the GeoFormer runs inference-only in this framework
 (embedding extraction); differentiate the dense path instead
-(geoformer.gated_attention with flash=False).
+(geoformer.geometric_attention with flash=False).
 """
 from __future__ import annotations
 

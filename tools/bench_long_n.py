@@ -106,7 +106,14 @@ def main():
             except Exception as e:  # OOM/compile failure IS the datum
                 results[name] = {"error": str(e)[:160]}
             print(name, results[name], file=sys.stderr)
+            # free device buffers before the next (larger) config — stale
+            # params/opt-state/batch would contaminate the HBM envelope
+            # this tool exists to measure
+            params = opt_state = batch = compiled = aux = None  # noqa: F841
             del trainer
+            import gc
+
+            gc.collect()
     results["device"] = str(jax.devices()[0])
     print(json.dumps(results))
 
