@@ -408,14 +408,52 @@ def _leaf(x):
     return x if hasattr(x, "detach") else _Leaf(x)
 
 
+def infer_config_from_state_dict(sd: dict) -> OmegaFoldConfig:
+    """Derive every architectural dimension from checkpoint tensor SHAPES,
+    so the importer works for any OmegaFold variant, not just the release
+    dims (masked_ratio / padding_idx / distogram breaks are reference
+    constants, not inferable — kept at defaults)."""
+    shp = lambda k: tuple(sd[k].shape)
+    alphabet, plm_node = shp("omega_plm.input_embedding.weight")
+    edge_dim, num_layers = shp("plm_edge_embedder.weight")
+    node_dim = shp("plm_node_embedder.weight")[0]
+    attn_dim = shp("omega_plm.layers.0.gau.multi_headed_scaling.weight")[1]
+    gva_out = shp("omega_plm.layers.0.gau.gva_proj.0.weight")[0]
+    proj_dim = (gva_out - attn_dim) // 2
+    num_relpos = shp("omega_plm.layers.0.gau.relpos.weight")[0]
+    geo = "omega_fold_cycle.geoformer.blocks.0."
+    attn_c = shp(geo + "attention_w_edge_bias.attention.qg_weights")[-1] // 2
+    _, _, geom_head, g2c = shp(
+        geo + "geometric_attention.0.attention.qg_weights"
+    )
+    ipa = "omega_fold_cycle.structure_module.cycles.0.ipa."
+    num_head = shp(ipa + "trainable_point_weights")[0]
+    return OmegaFoldConfig(
+        plm=PLMConfig(
+            alphabet_size=alphabet, node=plm_node, num_layers=num_layers,
+            proj_dim=proj_dim, attn_dim=attn_dim, num_relpos=num_relpos,
+        ),
+        node_dim=node_dim,
+        edge_dim=edge_dim,
+        attn_c=attn_c,
+        geom_c=g2c // 2,
+        geom_head=geom_head,
+        struct_num_head=num_head,
+        struct_num_scalar_qk=shp(ipa + "q_scalar.weight")[0] // num_head,
+        struct_num_point_qk=shp(ipa + "q_point.weight")[0] // (num_head * 3),
+    )
+
+
 def params_from_state_dict(
     sd: dict, cfg: OmegaFoldConfig | None = None
 ) -> tuple[OmegaFoldParams, OmegaFoldConfig]:
     """Build params from a released-checkpoint state_dict (the file loaded
     by the reference's torch.load, __main__.py:48-56). Keys follow the
-    reference module tree; 'module.' prefixes are stripped."""
+    reference module tree; 'module.' prefixes are stripped. With cfg=None
+    every dimension is inferred from tensor shapes
+    (infer_config_from_state_dict), so non-release checkpoints import too."""
     sd = {k.removeprefix("module."): v for k, v in sd.items()}
-    cfg = cfg or OmegaFoldConfig()
+    cfg = cfg or infer_config_from_state_dict(sd)
     root = _SDNode(sd)
     plm_node = _SDNode(
         sd, "omega_plm.",

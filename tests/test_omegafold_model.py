@@ -303,3 +303,27 @@ def test_scan_embed_matches_loop():
     np.testing.assert_allclose(np.asarray(n2s), np.asarray(n2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(e2s), np.asarray(e2), atol=1e-5)
     assert abs(c2s - c2) < 1e-5
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_infer_config_from_state_dict():
+    """Shape-based config inference must recover every architectural dim of
+    a non-release checkpoint (the CLI imports with cfg=None)."""
+    ref = _build_ref()
+    sd = {k.removeprefix("module."): v for k, v in ref.state_dict().items()}
+    got = M.infer_config_from_state_dict(sd)
+    assert got.plm.alphabet_size == 23 and got.plm.node == 32
+    assert got.plm.num_layers == 3 and got.plm.proj_dim == 48
+    assert got.plm.attn_dim == 16 and got.plm.num_relpos == 129
+    assert got.node_dim == 24 and got.edge_dim == 16
+    assert got.attn_c == 8 and got.geom_c == 8 and got.geom_head == 2
+    assert got.struct_num_head == 2
+    assert got.struct_num_scalar_qk == 6 and got.struct_num_point_qk == 4
+    # and the params built with the inferred cfg equal the module conversion
+    params_a, _ = M.params_from_torch(ref)
+    params_b, _ = M.params_from_state_dict(ref.state_dict())
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(params_a),
+                    jax.tree_util.tree_leaves(params_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
