@@ -143,14 +143,18 @@ class Config:
 # ---------------------------------------------------------------------------
 # overrides / YAML
 # ---------------------------------------------------------------------------
-def _coerce(value: str, current: Any) -> Any:
+def _coerce(value: str, current: Any, allows_str: bool = True) -> Any:
     if value.lower() in ("null", "none"):
         return None
     if value.lower() == "auto":
-        # tri-state bool|str fields (use_pallas_attention="auto") must accept
-        # 'auto' regardless of the CURRENT value's type — checking
-        # isinstance(current, bool) first would silently coerce 'auto' to
-        # False whenever the default is a bool
+        # Only tri-state fields (declared `bool | str`, e.g.
+        # use_pallas_attention) accept 'auto'. For a pure-bool field a truthy
+        # "auto" string would silently ENABLE the feature — reject the typo
+        # loudly instead.
+        if isinstance(current, bool) and not allows_str:
+            raise ValueError(
+                "'auto' is not valid for a boolean-only field; use true/false"
+            )
         return "auto"
     if isinstance(current, bool) or (
         isinstance(current, str) and current.lower() in (
@@ -189,7 +193,17 @@ def _replace_path(obj: Any, path: list[str], value: Any) -> Any:
         raise KeyError(f"No config field '{name}' on {type(obj).__name__}")
     current = getattr(obj, name)
     if len(path) == 1:
-        new = _coerce(value, current) if isinstance(value, str) else value
+        declared = ""
+        if dataclasses.is_dataclass(obj):
+            for f in dataclasses.fields(obj):
+                if f.name == name:
+                    declared = str(f.type)
+                    break
+        allows_str = "str" in declared
+        new = (
+            _coerce(value, current, allows_str=allows_str)
+            if isinstance(value, str) else value
+        )
         return dataclasses.replace(obj, **{name: new})
     return dataclasses.replace(obj, **{name: _replace_path(current, path[1:], value)})
 

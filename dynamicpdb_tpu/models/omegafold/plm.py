@@ -46,7 +46,10 @@ class PLMParams(NamedTuple):
 
 def _finetuning_scale(cfg: PLMConfig, mask, tokens):
     """Token-dropout rescaling (Rives et al. 2021; omegaplm.py:221-243)."""
-    src_len = jnp.sum(mask, axis=-1)
+    # f32 accumulation: under dtype=bfloat16 the mask arrives bf16, and a
+    # bf16 sum loses integer precision past 256 residues (spacing 2-4),
+    # perturbing the rescale in exactly the advertised long-N padded regime.
+    src_len = jnp.sum(mask, axis=-1, dtype=jnp.float32)
     observed = jnp.sum(tokens == 21, axis=-1).astype(jnp.float32) / src_len
     observed = jnp.where(observed == 1.0, 0.99, observed)
     return ((1 - cfg.masked_ratio) / (1 - observed))[:, None, None]
@@ -57,7 +60,9 @@ def omega_plm(params: PLMParams, cfg: PLMConfig, tokens, mask):
 
     Returns (node [M, L, node], edges [num_layers, L, L]).
     """
-    qk_scaling = gau_qk_scaling(jnp.sum(mask, -1), cfg.attn_dim)
+    qk_scaling = gau_qk_scaling(
+        jnp.sum(mask, -1, dtype=jnp.float32), cfg.attn_dim
+    )
     qk_scaling = qk_scaling[..., None, None]
     bias = (mask[..., None, :].astype(jnp.float32) - 1.0) * 1e9  # [M, 1, L]
 

@@ -41,8 +41,12 @@ def maybe_initialize_distributed() -> bool:
         return False
     try:
         jax.distributed.initialize()
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # Suppress only the benign re-init case. A genuine coordinator
+        # failure (bad address, timeout) must NOT silently degrade a
+        # multi-host launch to single-host behavior.
+        if "already initialized" not in str(e).lower():
+            raise
     return True
 
 

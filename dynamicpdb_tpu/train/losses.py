@@ -61,7 +61,7 @@ def dfold_loss(model_out, batch, conf: ExperimentConfig):
     # The reference takes an UNMASKED mean (train:1248) — but it never pads,
     # so masking by loss_mask is a strict generalization: identical when
     # every residue is real, and it keeps the effective trans weight
-    # independent of pad_to (see tests/test_losses.py pad-invariance).
+    # independent of pad_to (see tests/test_pad_invariance.py).
     gt_trans_x0 = batch["rigids_0"][..., 4:]
     pred_trans_x0 = model_out["rigids"][..., 4:]
     tmask = loss_mask[-1][..., None]

@@ -67,3 +67,10 @@ def test_auto_override_survives_bool_default():
     assert cfg.model.ipa.use_pallas_attention is True
     cfg = apply_overrides(cfg, ["model.ipa.use_pallas_attention=false"])
     assert cfg.model.ipa.use_pallas_attention is False
+
+
+def test_auto_rejected_for_pure_bool_field():
+    """bf16=auto is a typo, not a tri-state value: a truthy "auto" string
+    stored into a pure-bool field would silently ENABLE the feature."""
+    with pytest.raises(ValueError, match="auto"):
+        apply_overrides(Config(), ["experiment.bf16=auto"])
