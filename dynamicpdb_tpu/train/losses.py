@@ -82,11 +82,15 @@ def dfold_loss(model_out, batch, conf: ExperimentConfig):
     rot_all = rot_all * conf.rot_loss_weight * (t > conf.rot_loss_t_threshold)
     rot_loss = rot_all[-1]
 
-    # outlier guard (train:1338-1340)
+    # outlier guard (train:1338-1340). NOTE the reference's guards are
+    # SEQUENTIAL: trans_loss is reassigned (possibly to 0) before the
+    # torsion guard reads it, so `torsion_loss * (trans_loss < 100)` is
+    # always a no-op — torsion survives outlier batches. Found by the
+    # optimization-dynamics parity harness (tools/parity_training.py);
+    # mirrored exactly here.
     guard = (trans_loss < 100.0).astype(jnp.float32)
     rot_loss = rot_loss * guard
     trans_loss = trans_loss * guard
-    torsion_loss = torsion_loss * guard
 
     total = rot_loss + trans_loss + torsion_loss
     aux = {

@@ -32,6 +32,7 @@ Enabled via ``experiment.opt_state_dtype: bfloat16``.
 """
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -58,8 +59,19 @@ def scale_by_amsgrad(
     eps: float = 1e-8,
     eps_root: float = 0.0,
     state_dtype: Optional[jnp.dtype] = None,
+    formulation: str = "optax",
 ) -> optax.GradientTransformation:
-    """optax.scale_by_amsgrad with all three accumulators in state_dtype."""
+    """optax.scale_by_amsgrad with all three accumulators in state_dtype.
+
+    formulation="torch" reproduces torch.optim.Adam(amsgrad=True) bit-for-
+    bit (used by the reference, train_DFOLD_dynamics.py:412): nu_max tracks
+    the UNCORRECTED second moment and the bias correction divides the max —
+    ``update = (mu/c1) / (sqrt(nu_max)/sqrt(c2) + eps)``. The default
+    "optax" formulation maxes the bias-CORRECTED nu_hat instead. Both are
+    standard AMSGrad; "torch" is what the optimization-dynamics parity
+    harness (tools/parity_training.py) runs."""
+    if formulation not in ("optax", "torch"):
+        raise ValueError(f"unknown amsgrad formulation: {formulation}")
 
     def init_fn(params):
         def zeros():
@@ -96,12 +108,28 @@ def scale_by_amsgrad(
         count_inc = optax.safe_int32_increment(state.count)
         c1 = 1.0 - b1 ** count_inc.astype(jnp.float32)
         c2 = 1.0 - b2 ** count_inc.astype(jnp.float32)
-        mu_hat = jax.tree_util.tree_map(lambda m: m / c1, mu)
-        nu_hat = jax.tree_util.tree_map(lambda v: v / c2, nu)
-        nu_max = jax.tree_util.tree_map(jnp.maximum, nu_max_f, nu_hat)
-        new_updates = jax.tree_util.tree_map(
-            lambda m, v: m / (jnp.sqrt(v + eps_root) + eps), mu_hat, nu_max
-        )
+        if formulation == "torch":
+            # torch: max of the raw nu; correction applied to the max's sqrt.
+            # torch computes 1-b**step as a float64 Python scalar; the f32
+            # expression 1-b2**t cancels catastrophically (b2**t ~= 1), so
+            # use expm1 with the f64 log folded in at trace time.
+            cnt = count_inc.astype(jnp.float32)
+            c1t = -jnp.expm1(cnt * math.log(b1))
+            c2t = -jnp.expm1(cnt * math.log(b2))
+            mu_hat = jax.tree_util.tree_map(lambda m: m / c1t, mu)
+            nu_max = jax.tree_util.tree_map(jnp.maximum, nu_max_f, nu)
+            sqrt_c2 = jnp.sqrt(c2t)
+            new_updates = jax.tree_util.tree_map(
+                lambda m, v: m / (jnp.sqrt(v + eps_root) / sqrt_c2 + eps),
+                mu_hat, nu_max,
+            )
+        else:
+            mu_hat = jax.tree_util.tree_map(lambda m: m / c1, mu)
+            nu_hat = jax.tree_util.tree_map(lambda v: v / c2, nu)
+            nu_max = jax.tree_util.tree_map(jnp.maximum, nu_max_f, nu_hat)
+            new_updates = jax.tree_util.tree_map(
+                lambda m, v: m / (jnp.sqrt(v + eps_root) + eps), mu_hat, nu_max
+            )
         return new_updates, AmsgradState(
             count=count_inc,
             mu=_cast(mu, state_dtype),
@@ -118,11 +146,13 @@ def amsgrad(
     b2: float = 0.999,
     eps: float = 1e-8,
     state_dtype: Optional[jnp.dtype] = None,
+    formulation: str = "optax",
 ) -> optax.GradientTransformation:
     """Adam(amsgrad=True) equivalent; state_dtype=bfloat16 halves the
     optimizer's HBM traffic (moments stored bf16, math in f32)."""
     return optax.chain(
-        scale_by_amsgrad(b1=b1, b2=b2, eps=eps, state_dtype=state_dtype),
+        scale_by_amsgrad(b1=b1, b2=b2, eps=eps, state_dtype=state_dtype,
+                         formulation=formulation),
         optax.scale(-learning_rate),
     )
 

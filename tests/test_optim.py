@@ -128,3 +128,60 @@ def test_trainer_uses_opt_state_dtype():
                         jax.tree_util.tree_leaves(p2))
     )
     assert d > 0
+
+
+def test_torch_formulation_matches_torch_adam_amsgrad():
+    """formulation="torch" reproduces torch.optim.Adam(amsgrad=True)
+    step-for-step on a nonconvex toy problem (f32, 60 steps)."""
+    torch = pytest.importorskip("torch")
+    lr = 1e-2
+    w0 = np.linspace(-1.0, 1.5, 12).astype(np.float32).reshape(3, 4)
+
+    # torch side
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    topt = torch.optim.Adam([tw], lr=lr, amsgrad=True)
+    tloss_hist = []
+    for _ in range(60):
+        topt.zero_grad()
+        loss = (torch.sin(tw * 3.0) * tw**2).sum()
+        loss.backward()
+        topt.step()
+        tloss_hist.append(float(loss))
+
+    # jax side
+    jw = jnp.asarray(w0)
+    opt = optim.amsgrad(lr, formulation="torch")
+    state = opt.init(jw)
+
+    def f(w):
+        return jnp.sum(jnp.sin(w * 3.0) * w**2)
+
+    jloss_hist = []
+    for _ in range(60):
+        loss, g = jax.value_and_grad(f)(jw)
+        upd, state = opt.update(g, state, jw)
+        jw = optax.apply_updates(jw, upd)
+        jloss_hist.append(float(loss))
+
+    np.testing.assert_allclose(jloss_hist, tloss_hist, rtol=2e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(jw), tw.detach().numpy(), rtol=2e-6, atol=2e-6
+    )
+
+
+def test_torch_formulation_differs_from_optax_when_max_is_stale():
+    """Sanity: the two formulations are NOT identical (they differ once the
+    max was attained at an earlier step) — guards against the torch branch
+    silently aliasing the optax one."""
+    g_big = jnp.full((4,), 5.0)
+    g_small = jnp.full((4,), 0.1)
+    outs = []
+    for form in ("optax", "torch"):
+        w = jnp.zeros((4,))
+        opt = optim.amsgrad(1e-2, formulation=form)
+        s = opt.init(w)
+        for g in [g_big, g_small, g_small, g_small]:
+            upd, s = opt.update(g, s, w)
+            w = optax.apply_updates(w, upd)
+        outs.append(np.asarray(w))
+    assert np.abs(outs[0] - outs[1]).max() > 1e-7
