@@ -42,15 +42,22 @@ def ca_ca_clashes(ca_pos: np.ndarray, tol: float = 1.5):
 
 
 # --- TM-score ----------------------------------------------------------------
-def _fit_transform(src: np.ndarray, dst: np.ndarray):
-    """Kabsch R, t minimizing |src @ R + t - dst| (reflection-corrected)."""
-    A = src - src.mean(0)
-    B = dst - dst.mean(0)
-    u, _, vh = np.linalg.svd(A.T @ B)
+def _fit_transform(src: np.ndarray, dst: np.ndarray,
+                   w: np.ndarray | None = None):
+    """Kabsch R, t minimizing sum w |src @ R + t - dst|^2
+    (reflection-corrected; uniform weights when w is None)."""
+    if w is None:
+        w = np.ones(len(src))
+    w = w / w.sum()
+    src_mean = (src * w[:, None]).sum(0)
+    dst_mean = (dst * w[:, None]).sum(0)
+    A = src - src_mean
+    B = dst - dst_mean
+    u, _, vh = np.linalg.svd((A * w[:, None]).T @ B)
     sgn = np.sign(np.linalg.det(u @ vh))
     u[:, -1] *= sgn
     R = u @ vh
-    t = dst.mean(0) - src.mean(0) @ R
+    t = dst_mean - src_mean @ R
     return R, t
 
 
@@ -64,6 +71,23 @@ def tm_score(pred_ca: np.ndarray, gt_ca: np.ndarray, n_iter: int = 20):
     L = len(gt_ca)
     d0 = max(1.24 * max(L - 15, 1) ** (1.0 / 3) - 1.8, 0.5)
 
+    def irls_refine(R, t, iters=20):
+        """TM-weighted Kabsch ascent (majorize-minimize on the TM
+        objective, weights = d(score)/d(d^2) ~ (1+(d/d0)^2)^-2 — the same
+        rotation-refinement idea TM-align uses). Escapes the inlier
+        search's hard-threshold local optima on dissimilar structures
+        (found by the brute-force oracle, tests/test_tm_oracle.py)."""
+        best_local = 0.0
+        for _ in range(iters):
+            d = np.linalg.norm(pred_ca @ R + t - gt_ca, axis=-1)
+            score = float(np.mean(1.0 / (1.0 + (d / d0) ** 2)))
+            if score <= best_local + 1e-9:
+                break
+            best_local = score
+            w = 1.0 / (1.0 + (d / d0) ** 2) ** 2
+            R, t = _fit_transform(pred_ca, gt_ca, w)
+        return best_local
+
     def score_from(idx):
         best_local = 0.0
         for d_cut in (d0, d0 + 1.0, d0 + 2.0):
@@ -74,7 +98,8 @@ def tm_score(pred_ca: np.ndarray, gt_ca: np.ndarray, n_iter: int = 20):
                 R, t = _fit_transform(pred_ca[sel], gt_ca[sel])
                 d = np.linalg.norm(pred_ca @ R + t - gt_ca, axis=-1)
                 best_local = max(
-                    best_local, float(np.mean(1.0 / (1.0 + (d / d0) ** 2)))
+                    best_local, float(np.mean(1.0 / (1.0 + (d / d0) ** 2))),
+                    irls_refine(R, t),
                 )
                 new_sel = np.where(d < d_cut)[0]
                 if len(new_sel) >= 3 and (

@@ -31,6 +31,19 @@ def helix_backbone(n_res: int) -> np.ndarray:
     )
 
 
+def _rotvec_to_mat(v):
+    """[..., 3] rotation vectors -> [..., 3, 3] matrices (Rodrigues)."""
+    theta = np.linalg.norm(v, axis=-1, keepdims=True) + 1e-12
+    k = v / theta
+    K = np.zeros(v.shape[:-1] + (3, 3))
+    K[..., 0, 1], K[..., 0, 2] = -k[..., 2], k[..., 1]
+    K[..., 1, 0], K[..., 1, 2] = k[..., 2], -k[..., 0]
+    K[..., 2, 0], K[..., 2, 1] = -k[..., 1], k[..., 0]
+    t = theta[..., None]
+    eye = np.broadcast_to(np.eye(3), K.shape)
+    return eye + np.sin(t) * K + (1 - np.cos(t)) * (K @ K)
+
+
 def make_window(
     n_res: int = 32,
     frame_time: int = 2,
@@ -38,6 +51,7 @@ def make_window(
     edge_dim: int = 128,
     seed: int = 0,
     wiggle: float = 0.3,
+    rot_wiggle: float = 0.0,
 ) -> dict:
     """One raw training window (numpy dict per data/featurize.py contract)."""
     rng = np.random.default_rng(seed)
@@ -64,12 +78,25 @@ def make_window(
     )
     atom37_one *= mask37[..., None]
 
-    # temporally-correlated wiggle
+    # temporally-correlated wiggle. NOTE: the translation offset moves all
+    # 37 atoms of a residue identically, so with rot_wiggle=0 (default) the
+    # GT backbone FRAMES never rotate between frames — RefAsPred's rotation
+    # error is then exactly 0 and any predicted rotation noise "loses" to
+    # it (see docs/artifacts/train_proof.json discussion in DESIGN.md).
+    # rot_wiggle > 0 (radians) adds a temporally-correlated per-residue
+    # rotation about the CA so the rotation channel is actually exercised.
     frames = []
     offset = np.zeros((n_res, 1, 3))
+    rotvec = np.zeros((n_res, 3))
     for _ in range(frame_time):
         offset = 0.9 * offset + wiggle * rng.normal(size=(n_res, 1, 3))
-        frames.append((atom37_one + offset) * mask37[..., None])
+        atoms = atom37_one
+        if rot_wiggle > 0:
+            rotvec = 0.9 * rotvec + rot_wiggle * rng.normal(size=(n_res, 3))
+            R = _rotvec_to_mat(rotvec)  # [N, 3, 3]
+            local = atom37_one - atom37_one[:, 1:2]
+            atoms = np.einsum("nij,naj->nai", R, local) + atom37_one[:, 1:2]
+        frames.append((atoms + offset) * mask37[..., None])
     atom37 = np.stack(frames)
 
     return {

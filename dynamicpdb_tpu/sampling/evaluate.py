@@ -30,6 +30,7 @@ def evaluate(
     noise_scale: float = 0.1,
     cfg_gamma: float | None = None,
     save_dir: str | None = None,
+    decompose: bool = False,
 ):
     """Run eval over raw windows; returns per-protein metric rows + means.
 
@@ -53,6 +54,20 @@ def evaluate(
             feats["atom37_pos"], feats["atom37_mask"],
             res_mask=feats["res_mask"],
         )
+        if decompose:
+            # teacher-forced all-atom error decomposition: floor = what GT
+            # rigids+torsions reconstruct to (irreducible unless GT atoms
+            # are in the idealized-geometry decoder's image)
+            from dynamicpdb_tpu.analysis.decomposition import (
+                atom_error_decomposition,
+            )
+
+            dec = atom_error_decomposition(
+                feats, {"rigids": out["rigids"], "angles": out["angles"]}
+            )
+            for part, errs in dec.items():
+                for m, v in errs.items():
+                    metrics[f"{part}_{m}"] = v
         return metrics, out
 
     rows = []

@@ -29,12 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def make_release_files(workdir: str, pid: str, n_res: int, n_frames: int):
+def make_release_files(workdir: str, pid: str, n_res: int, n_frames: int,
+                       rot_wiggle: float = 0.0):
     """Synthesize an MD-like trajectory and write the reference release
     multi-file layout."""
     from dynamicpdb_tpu.data.synthetic import make_window
 
-    w = make_window(n_res=n_res, frame_time=n_frames, seed=1)
+    w = make_window(n_res=n_res, frame_time=n_frames, seed=1,
+                    rot_wiggle=rot_wiggle)
     os.makedirs(workdir, exist_ok=True)
     npz = os.path.join(workdir, f"{pid}_new_w_pp.npz")
     np.savez_compressed(
@@ -74,6 +76,10 @@ def main(argv=None):
     parser.add_argument("--n-frames", type=int, default=32)
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--rot-wiggle", type=float, default=0.05,
+                        help="per-residue rotational MD wiggle (radians); "
+                        ">0 makes the rotation channel non-degenerate "
+                        "(RefAsPred rot error would otherwise be exactly 0)")
     parser.add_argument("--set", action="append", default=[],
                         dest="overrides", metavar="key=value",
                         help="extra config overrides, e.g. "
@@ -114,7 +120,8 @@ def main(argv=None):
         data_source = f"real release dir {args.release_dir}"
     else:
         row = make_release_files(
-            args.workdir, args.pid, args.n_res, args.n_frames
+            args.workdir, args.pid, args.n_res, args.n_frames,
+            rot_wiggle=args.rot_wiggle,
         )
         data_source = "synthetic MD in release layout (offline run)"
 
@@ -170,7 +177,7 @@ def main(argv=None):
     rows, means = evaluate(
         exp.trainer.model, exp.params, exp.trainer.diffuser, windows(),
         key=jax.random.PRNGKey(7), num_t=cfg.data.num_t,
-        min_t=cfg.data.min_t, noise_scale=0.1,
+        min_t=cfg.data.min_t, noise_scale=0.1, decompose=True,
     )
 
     # --- artifact -----------------------------------------------------------
@@ -182,6 +189,14 @@ def main(argv=None):
         "train_seconds": round(train_s, 1),
         "loss_curve": history,
         "eval_means": means,
+        "atom_error_note": (
+            "floor_* = GT rigids + GT torsions through the idealized-"
+            "geometry decoder vs raw GT atoms (irreducible); model_* = "
+            "the model's reconstruction; rigids_only_*/torsion_only_* "
+            "swap one predicted channel in. model ~= floor means the "
+            "rigid/torsion->atom path is exact and the residual is data "
+            "representability, not a model defect."
+        ),
         "device": str(jax.devices()[0]),
     }
     with open(args.out + ".json", "w") as f:
