@@ -100,7 +100,11 @@ class ModelConfig:
 class ExperimentConfig:
     name: str = "dfold_tpu"
     seed: int = 0
-    batch_size: int = 1  # windows per device step (frames ride inside)
+    # windows per device step (frames ride inside). 8 = the measured
+    # throughput knee on v5e at 256 residues (docs/DESIGN.md) — the
+    # production default; configs/parity_debug.yaml keeps the B=1
+    # reference-parity point
+    batch_size: int = 8
     learning_rate: float = 1e-4
     grad_clip_norm: float | None = None  # reference has clip(1.0) commented out
     num_epoch: int = 500000
@@ -130,6 +134,11 @@ class ExperimentConfig:
     # optimizer pass is the largest HBM-traffic slice of a train step
     # (docs/DESIGN.md); None/"float32" = exact optax.amsgrad sequence
     opt_state_dtype: str | None = None
+    # ZeRO-1-style sharding of the AMSGrad moments over the 'data' mesh
+    # axis: each device updates 1/D of the optimizer state and XLA
+    # all-gathers params over ICI (parallel/sharding.py:zero_spec).
+    # No-op on a single device.
+    zero_opt_state: bool = True
 
 
 @dataclass(frozen=True)

@@ -41,6 +41,50 @@ def tree_shardings(tree, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(one, tree)
 
 
+def zero_spec(path: tuple, value, mesh: Mesh) -> P:
+    """ZeRO-1-style PartitionSpec for one optimizer-state leaf.
+
+    The Adam pass is pure HBM traffic over params + three moments — the
+    single largest slice of a flagship train step (docs/DESIGN.md: 40% of
+    device time at B=1). Sharding the moments over the 'data' axis makes
+    each device read/update 1/D of them; XLA then all-gathers the updated
+    params over ICI (the ZeRO-1 pattern) instead of every device redoing
+    the full elementwise pass.
+
+    Rule: keep the param's 'model' sharding (moments are param-shaped), and
+    additionally shard the LARGEST remaining axis divisible by the 'data'
+    axis size. 'slice' (DCN) is never used — gathers must ride ICI.
+    """
+    dims = [None] * value.ndim
+    taken = -1
+    if "model" in mesh.axis_names:
+        mspec = param_spec(path, value, mesh.shape["model"])
+        if mspec != P():
+            dims[value.ndim - 1] = "model"
+            taken = value.ndim - 1
+    d = mesh.shape.get("data", 1)
+    if d > 1 and value.size >= 1024:
+        best = -1
+        for i, s in enumerate(value.shape):
+            if i != taken and s % d == 0 and (
+                best < 0 or s > value.shape[best]
+            ):
+                best = i
+        if best >= 0:
+            dims[best] = "data"
+    return P(*dims)
+
+
+def opt_state_shardings(opt_state, mesh: Mesh):
+    """NamedShardings for an optimizer-state pytree (ZeRO over 'data' +
+    any 'model' sharding the matching params carry)."""
+
+    def one(path, v):
+        return NamedSharding(mesh, zero_spec(path, v, mesh))
+
+    return jax.tree_util.tree_map_with_path(one, opt_state)
+
+
 def shard_params(params, mesh: Mesh):
     """Device-put params according to the sharding rules."""
     return jax.tree_util.tree_map(

@@ -40,6 +40,8 @@ class Trainer:
         self.optimizer = make_optimizer(cfg.experiment)
         self.mesh = mesh
         self._train_step = None
+        self._opt_shardings = None
+        self._param_shardings = None
 
     # -- setup ----------------------------------------------------------------
     def init_params(self, key, sample_window: dict):
@@ -61,6 +63,26 @@ class Trainer:
             lambda x: jax.lax.convert_element_type(x, x.dtype), params
         )
         opt_state = self.optimizer.init(params)
+        if self.mesh is not None:
+            # place params (replicated, or 'model'-sharded when the mesh
+            # has that axis) and the moments (ZeRO over 'data') in their
+            # final shards at init; cache the sharding trees so
+            # compiled_train_step's in/out_shardings match exactly
+            from dynamicpdb_tpu.parallel import sharding as sharding_lib
+
+            self._param_shardings = sharding_lib.tree_shardings(
+                params, self.mesh
+            )
+            params = jax.tree_util.tree_map(
+                lambda v, s: jax.device_put(v, s), params,
+                self._param_shardings,
+            )
+            self._opt_shardings = self.opt_state_shardings(opt_state)
+            if self._opt_shardings is not None:
+                opt_state = jax.tree_util.tree_map(
+                    lambda v, s: jax.device_put(v, s), opt_state,
+                    self._opt_shardings,
+                )
         return params, opt_state
 
     # -- the step -------------------------------------------------------------
@@ -140,19 +162,43 @@ class Trainer:
             lambda x: x[-1], auxs
         )
 
-    def compiled_train_step(self):
+    def opt_state_shardings(self, opt_state):
+        """ZeRO-1 shardings for the optimizer state on this trainer's mesh
+        (replicated when disabled / single-device / no 'data' axis)."""
+        from dynamicpdb_tpu.parallel import sharding as sharding_lib
+
+        if (
+            self.mesh is not None
+            and getattr(self.cfg.experiment, "zero_opt_state", False)
+            and self.mesh.shape.get("data", 1) > 1
+        ):
+            return sharding_lib.opt_state_shardings(opt_state, self.mesh)
+        if self.mesh is not None:
+            rep = mesh_lib.replicated(self.mesh)
+            return jax.tree_util.tree_map(lambda _: rep, opt_state)
+        return None
+
+    def compiled_train_step(self, opt_state=None):
         """jit once; with a mesh, shard the batch over 'data' and let XLA
-        place the gradient all-reduce on ICI."""
+        place the gradient all-reduce on ICI. Pass the opt_state template
+        to also shard the AMSGrad moments over 'data' (ZeRO-1,
+        experiment.zero_opt_state)."""
         if self._train_step is None:
             donate = (0, 1)
             if self.mesh is not None:
                 bspec = mesh_lib.batch_sharding(self.mesh)
                 rspec = mesh_lib.replicated(self.mesh)
+                pspec = getattr(self, "_param_shardings", None) or rspec
+                ospec = (
+                    self.opt_state_shardings(opt_state)
+                    if opt_state is not None
+                    else getattr(self, "_opt_shardings", None)
+                ) or rspec
                 self._train_step = jax.jit(
                     self.train_step,
                     donate_argnums=donate,
-                    in_shardings=(rspec, rspec, rspec, bspec),
-                    out_shardings=(rspec, rspec, rspec),
+                    in_shardings=(pspec, ospec, rspec, bspec),
+                    out_shardings=(pspec, ospec, rspec),
                 )
             else:
                 self._train_step = jax.jit(self.train_step, donate_argnums=donate)
@@ -205,7 +251,7 @@ class Experiment:
 
     def train(self, num_epochs: int | None = None, max_steps: int | None = None):
         cfg = self.cfg.experiment
-        step_fn = self.trainer.compiled_train_step()
+        step_fn = self.trainer.compiled_train_step(self.opt_state)
         mesh = self.trainer.mesh
         history = []
         rolling = []

@@ -72,7 +72,9 @@ def main(argv=None):
         )
     else:
         mesh = None
-    global_batch = max(cfg.experiment.batch_size, n_dev)
+    # batch_size is PER DEVICE (configs/release.yaml); the old
+    # max(batch, n_dev) silently degraded B=8 on 8 devices to 1/device
+    global_batch = cfg.experiment.batch_size * max(n_dev, 1)
     sampler = EpochSampler(
         n_items=len(dataset),
         batch_size=global_batch,

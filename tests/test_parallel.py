@@ -22,12 +22,22 @@ def test_data_parallel_train_step_matches_single_device():
     batch = jax.tree_util.tree_map(lambda x: jnp.asarray(np.stack([x] * 8)), window)
     p1, _, aux1 = tr1.compiled_train_step()(params, opt_state, key, batch)
 
-    # 8-device data parallel on the same batch
+    # 8-device data parallel on the same batch, with ZeRO-sharded moments
+    # (the production default, experiment.zero_opt_state=True)
     mesh = mesh_lib.make_mesh((8,), ("data",))
     tr8 = Trainer(TINY_CFG, mesh=mesh)
     params8, opt_state8 = tr8.init_params(key, window)
+    # the big moment leaves must actually be sharded over 'data'
+    n_sharded = sum(
+        1 for leaf in jax.tree_util.tree_leaves(opt_state8)
+        if leaf.ndim > 0
+        and leaf.addressable_shards[0].data.size < leaf.size
+    )
+    assert n_sharded > 0, "ZeRO sharded no optimizer-state leaves"
     sharded = mesh_lib.shard_batch(mesh, batch)
-    p8, _, aux8 = tr8.compiled_train_step()(params8, opt_state8, key, sharded)
+    p8, _, aux8 = tr8.compiled_train_step(opt_state8)(
+        params8, opt_state8, key, sharded
+    )
 
     # same data + same key => identical loss and identical updated params
     np.testing.assert_allclose(
@@ -105,3 +115,39 @@ def test_tensor_parallel_sharding_matches_dp():
     np.testing.assert_allclose(
         float(aux_dp["total_loss"]), float(aux_tp["total_loss"]), rtol=2e-4
     )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_zero_opt_state_matches_replicated_dp():
+    """ZeRO-sharded AMSGrad moments (experiment.zero_opt_state=True) must
+    produce the same updates as fully-replicated moments over 2 steps."""
+    import dataclasses
+
+    window = make_window(n_res=8, frame_time=2, seed=0)
+    key = jax.random.PRNGKey(0)
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.stack([x] * 8)), window
+    )
+    mesh = mesh_lib.make_mesh((8,), ("data",))
+    sharded = mesh_lib.shard_batch(mesh, batch)
+
+    results = []
+    for zero in (True, False):
+        cfg = dataclasses.replace(
+            TINY_CFG,
+            experiment=dataclasses.replace(
+                TINY_CFG.experiment, zero_opt_state=zero
+            ),
+        )
+        tr = Trainer(cfg, mesh=mesh)
+        p, o = tr.init_params(key, window)
+        step = tr.compiled_train_step(o)
+        p, o, _ = step(p, o, key, sharded)
+        p, o, aux = step(p, o, jax.random.PRNGKey(1), sharded)
+        results.append((p, float(aux["total_loss"])))
+
+    (pz, lz), (pr, lr) = results
+    np.testing.assert_allclose(lz, lr, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(pz),
+                    jax.tree_util.tree_leaves(pr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
