@@ -107,6 +107,20 @@ def evaluate(
                 np.asarray(raw_j["atom37"]), aatype,
                 np.asarray(raw_j["atom37_mask"]),
             )
+            # interactive 3D overlay (plotly-format HTML, reference
+            # plotting.py modality; no plotly dependency needed)
+            from dynamicpdb_tpu.analysis.interactive import (
+                comparison_figure, write_html,
+            )
+
+            write_html(
+                comparison_figure(
+                    np.asarray(out["atom37"])[-1, :, 1],
+                    np.asarray(raw_j["atom37"])[-1, :, 1],
+                    title=f"{name}: predicted vs GT (CA)",
+                ),
+                os.path.join(save_dir, f"{name}.html"),
+            )
 
     means = {
         k: float(np.mean([r[k] for r in rows]))

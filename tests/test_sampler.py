@@ -99,3 +99,18 @@ def test_evaluate_driver(setup):
     np.testing.assert_allclose(
         rows[0]["ave_trans"], rows[0]["ref_ave_trans"], atol=1e-3
     )
+
+
+def test_evaluate_save_dir_artifacts(setup, tmp_path):
+    """save_dir writes the reference-eval-dir artifact set per protein:
+    prediction npz, predicted + GT PDBs, and the interactive HTML overlay."""
+    w, diffuser, model, feats, params = setup
+    evaluate(
+        model, params, diffuser, [dict(w, name="synth")],
+        key=jax.random.PRNGKey(4), num_t=3, noise_scale=0.1,
+        save_dir=str(tmp_path), decompose=True,
+    )
+    for suffix in ("_pred.npz", ".pdb", "_gt.pdb", ".html"):
+        assert (tmp_path / f"synth{suffix}").exists(), suffix
+    html = (tmp_path / "synth.html").read_text()
+    assert "scatter3d" in html and "ground truth" in html
