@@ -54,7 +54,17 @@ def test_data_parallel_train_step_matches_single_device():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
-    g.dryrun_multichip(8)
+    g.dryrun_multichip(8, flagship=False)
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_graft_dryrun_multichip_flagship():
+    """Full driver path incl. the flagship-width model (~5 min CPU
+    compile; the driver also runs this directly at round end)."""
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8, flagship=True)
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
@@ -118,10 +128,14 @@ def test_tensor_parallel_sharding_matches_dp():
 
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
-def test_zero_opt_state_matches_replicated_dp():
+def test_zero_opt_state_matches_replicated_dp(tmp_path):
     """ZeRO-sharded AMSGrad moments (experiment.zero_opt_state=True) must
-    produce the same updates as fully-replicated moments over 2 steps."""
+    produce the same updates as fully-replicated moments over 2 steps, and
+    survive a checkpoint save/restore round trip (restore yields host
+    arrays; jit re-places them per the ZeRO in_shardings)."""
     import dataclasses
+
+    from dynamicpdb_tpu.train import checkpoint as ckptlib
 
     window = make_window(n_res=8, frame_time=2, seed=0)
     key = jax.random.PRNGKey(0)
@@ -143,6 +157,11 @@ def test_zero_opt_state_matches_replicated_dp():
         p, o = tr.init_params(key, window)
         step = tr.compiled_train_step(o)
         p, o, _ = step(p, o, key, sharded)
+        if zero:
+            # checkpoint round trip through the SHARDED state
+            ckptlib.save(str(tmp_path / "z.ckpt"), p, o, 2, 0)
+            state = ckptlib.restore(str(tmp_path / "z.ckpt"), p, o)
+            p, o = state["params"], state["opt_state"]
         p, o, aux = step(p, o, jax.random.PRNGKey(1), sharded)
         results.append((p, float(aux["total_loss"])))
 

@@ -8,6 +8,7 @@ the same inputs, the two networks compute the same function.
 
 Run: python tools/parity_model.py   (CPU, ~1 min)
 """
+import os
 import sys
 import types
 
@@ -92,6 +93,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, "/root/repo")
+from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+# reuse the test-suite cache: this script runs as a subprocess of
+# tests/test_model_parity.py and its compiles dominate that test's time
+enable_persistent_cache(
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".cache", "jax_tests")
+)
 
 sys.path.insert(0, "/root/repo")
 from dynamicpdb_tpu.config import EmbedConfig, IPAConfig, ModelConfig  # noqa: E402
