@@ -14,9 +14,11 @@ batch 8 + bf16 AMSGrad state — the measured saturation knee and the shipped
 default, docs/DESIGN.md), plus the B=1 parity-debug figure, both
 best-of-3 and median-of-3, plus MFU. MFU derivation (docs/DESIGN.md): FLOPs
 per optimizer step are XLA's own cost analysis of the compiled train-step
-executable (compiled.cost_analysis()['flops'] / K for the K-step scan), and
-peak FLOP/s comes from the device kind (bf16 peak: v5e 197 TF, v5p 459 TF,
-v4 275 TF).
+executable. NOTE: cost analysis counts a lax.scan body ONCE regardless of
+trip count (measured: K=16 scan total == unscanned single step), so the
+compiled total is already per-step — rounds 1-2 divided by K and
+under-reported MFU 16x. Peak FLOP/s comes from the device kind (bf16 peak:
+v5e 197 TF, v5p 459 TF, v4 275 TF).
 """
 from __future__ import annotations
 
@@ -132,11 +134,14 @@ def main():
     compiled = step.lower(params, opt_state, key, batch).compile()
     compile_s = time.time() - t0
     print(f"train step compile: {compile_s:.1f}s", file=sys.stderr)
+    # XLA's cost analysis counts a lax.scan body ONCE regardless of trip
+    # count (verified: the K=16 scan total equals the unscanned single
+    # step bit-for-bit), so the compiled total IS the per-step FLOPs.
+    # Rounds 1-2 divided by K and under-reported MFU 16x.
     flops_per_step = _flops_of(compiled)
     if flops_per_step is not None:
-        flops_per_step /= TRAIN_STEPS
-        print(f"FLOPs/step (XLA cost analysis): {flops_per_step:.3e}",
-              file=sys.stderr)
+        print(f"FLOPs/step (XLA cost analysis, scan body counted once): "
+              f"{flops_per_step:.3e}", file=sys.stderr)
 
     params, opt_state, aux = compiled(params, opt_state, key, batch)
     # host fetch = the only true barrier here: jax.block_until_ready does
@@ -199,9 +204,9 @@ def main():
     print(f"train windows/sec at B={B}: median={wps_b8:.3f} "
           f"(B=1: {train_sps_med:.3f})", file=sys.stderr)
     mfu_b8 = None
-    f8 = _flops_of(compiled8)
+    f8 = _flops_of(compiled8)  # scan body counted once = per-step FLOPs
     if f8 is not None and peak:
-        mfu_b8 = round(f8 / k_steps * (wps_b8 / B) / peak, 4)
+        mfu_b8 = round(f8 * (wps_b8 / B) / peak, 4)
         print(f"MFU at B={B} (median): {mfu_b8}", file=sys.stderr)
 
     # --- rollout throughput ----------------------------------------------
