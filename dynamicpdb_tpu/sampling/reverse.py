@@ -182,3 +182,40 @@ def rollout(
         outer, (init_feats["rigids_0"], key), None, length=n_steps
     )
     return atom_traj, rigid_traj
+
+
+def batched_rollout(
+    key,
+    module,
+    params,
+    diffuser,
+    init_feats_batch: dict[str, Any],
+    *,
+    n_steps: int,
+    num_t: int = 10,
+    min_t: float = 0.01,
+    noise_scale: float = 1.0,
+    center: bool = True,
+):
+    """Throughput-oriented rollout: vmap the full autoregressive extension
+    over a leading batch axis (multiple proteins, or multiple stochastic
+    replicas of one protein for ensemble sampling). A serving capability
+    beyond the reference (its eval_extension is strictly one trajectory per
+    Python loop, train:931-1000); on TPU the batched trajectories share one
+    XLA computation and the MXU work batches across them.
+
+    init_feats_batch: featurized windows stacked on axis 0 ([B, F, N, ...]).
+    Each trajectory consumes an independent PRNG stream. Returns
+    (atom37_traj [B, n_steps, N, 37, 3], rigid_traj [B, n_steps, N, 7]).
+    """
+    batch = jax.tree_util.tree_leaves(init_feats_batch)[0].shape[0]
+    keys = jax.random.split(key, batch)
+
+    def one(k, feats):
+        return rollout(
+            k, module, params, diffuser, feats,
+            n_steps=n_steps, num_t=num_t, min_t=min_t,
+            noise_scale=noise_scale, center=center,
+        )
+
+    return jax.vmap(one)(keys, init_feats_batch)

@@ -110,6 +110,18 @@ def main(argv=None):
             lambda a, x: a + jnp.sum(x.astype(jnp.float32)), p, 0.0
         )
 
+    # per-call dispatch+fetch floor: through the axon tunnel a TRIVIAL jit
+    # call costs ~30 ms — any stage's ABSOLUTE time includes it, so the
+    # first stage would otherwise absorb the floor as fake compute
+    # (discovered when "featurize" read 30 ms but frames-only and
+    # torsions-only each also read ~29 ms)
+    triv = jax.jit(lambda v: jnp.sum(v))
+    float(triv(jnp.ones((8,))))
+    floor = float(np.median(
+        [_timed(lambda: float(triv(jnp.ones((8,))))) for _ in range(7)]
+    ))
+    print(f"per-call floor: {floor*1e3:.1f} ms", file=sys.stderr)
+
     stages = [
         ("featurize", jax.jit(featurize_stage), (params, key, batch)),
         ("+forward", jax.jit(forward_stage), (params, key, batch)),
@@ -133,20 +145,28 @@ def main(argv=None):
 
     names = [s[0] for s in stages]
     deltas = {}
-    prev = 0.0
+    prev = floor  # subtract the dispatch floor from the first stage
     for n in names:
-        deltas[n] = times[n] - prev
+        deltas[n] = max(times[n] - prev, 0.0)
         prev = times[n]
-    total = times[names[-1]]
-    print("\nstage deltas (B=%d, N=%d):" % (B, args.n_res), file=sys.stderr)
+    total = max(times[names[-1]] - floor, 1e-9)
+    print("\nstage deltas, floor-corrected (B=%d, N=%d; compute total "
+          "%.1f ms):" % (B, args.n_res, total * 1e3), file=sys.stderr)
     for n in names:
         print(f"  {n:<11} {deltas[n]*1e3:8.1f} ms  "
               f"{deltas[n]/total:6.1%}", file=sys.stderr)
     print(json.dumps({"B": B, "n_res": args.n_res,
+                      "per_call_floor_ms": round(floor * 1e3, 1),
                       "stage_ms": {k: round(v * 1e3, 1)
                                    for k, v in times.items()},
                       "delta_ms": {k: round(v * 1e3, 1)
                                    for k, v in deltas.items()}}))
+
+
+def _timed(fn):
+    t0 = time.time()
+    fn()
+    return time.time() - t0
 
 
 if __name__ == "__main__":
