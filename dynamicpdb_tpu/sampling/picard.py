@@ -1,0 +1,140 @@
+"""Parallel-in-time (Picard) reverse-diffusion sampling.
+
+The sequential sampler (sampling/reverse.py) evaluates the score network
+num_t times in strict order — the latency floor of a rollout frame. Picard
+iteration instead treats the whole reverse trajectory X = (x_0 .. x_{T-1})
+as the fixed point of
+
+    X[0]   = x_init
+    X[k+1] = F_k(X[k])        (one reverse SDE step at time t_k, noise z_k)
+
+and sweeps ALL steps in parallel per iteration:
+
+    X^{m+1}[k+1] = F_k(X^m[k])   for every k, one vmapped batch of model
+                                  evaluations per sweep
+
+After m sweeps the first m+1 entries are EXACT, so the iteration always
+reaches the sequential trajectory within T-1 sweeps (the per-step noise
+z_k is pre-generated with the sequential sampler's exact key chain, so the
+fixed point IS the sequential answer — regression-tested bit-close in
+tests/test_picard.py). On TPU each sweep batches T-1 model evaluations
+onto the MXU (cf. "Parallel Sampling of Diffusion Models on SO(3)",
+arXiv 2507.10347 — same idea, jit-native formulation here).
+
+HONEST MEASURED RESULT — no latency win for THIS sampler: convergence is
+wavefront-limited. The reverse Euler-Maruyama map x -> x + drift(x)dt + z
+is not a strong contraction at the release discretization (num_t=10;
+beta*dt/var is O(1) mid-trajectory and grows as t -> min_t), so sweep
+deltas stay O(1) until the exactness wavefront reaches the tail: measured
+deltas over 7 sweeps at num_t=8 were 11.2, 3.5, 1.8, 2.0, 0.2, 2.0,
+0.015 — M ~= T-1 in practice, i.e. as many batched sweeps as the
+sequential sampler has steps. Since each sweep also costs ~B=T-1 batch
+compute, Picard here trades latency 1:1 at higher FLOPs. Kept as an
+experimental sampler + documented negative result (the technique pays off
+only for samplers whose per-step map is strongly contractive, e.g.
+probability-flow/ODE-style or few-step-distilled samplers — a future
+direction if an ODE sampler lands).
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from dynamicpdb_tpu.models.score_network import score_forward
+from dynamicpdb_tpu.ops.rigid import Rigid
+
+
+def picard_reverse_sample(
+    key,
+    module,
+    params,
+    diffuser,
+    init_feats: dict[str, Any],
+    *,
+    num_t: int = 10,
+    min_t: float = 0.01,
+    noise_scale: float = 1.0,
+    center: bool = True,
+    tol: float = 1e-3,
+    max_sweeps: int | None = None,
+):
+    """Parallel-in-time reverse sampling for one window.
+
+    Same contract as reverse.reverse_sample (without aux_traj/cfg): returns
+    {rigids, atom37, atom14, angles, n_sweeps, sweep_delta}. With
+    max_sweeps >= num_t - 1 and tol = 0 the result equals the sequential
+    sampler exactly (same key chain).
+    """
+    F = init_feats["res_mask"].shape[0]
+    T = num_t
+    reverse_steps = jnp.linspace(min_t, 1.0, T)[::-1]  # t_0=1 .. t_{T-1}=min_t
+    dt = 1.0 / T
+    if max_sweeps is None:
+        max_sweeps = T - 1
+
+    # pre-generate the sequential sampler's exact per-step key chain
+    subs = []
+    k = key
+    for _ in range(T - 1):
+        k, sub = jax.random.split(k)
+        subs.append(sub)
+    subs = jnp.stack(subs)
+
+    diffuse_mask = (
+        1 - init_feats["fixed_mask"].astype(jnp.float32)
+    ) * init_feats["res_mask"].astype(jnp.float32)
+
+    def set_t(feats, t):
+        rot_s, trans_s = diffuser.score_scaling(t)
+        out = dict(feats)
+        out["t"] = jnp.full((F,), t)
+        out["rot_score_scaling"] = jnp.full((F,), rot_s)
+        out["trans_score_scaling"] = jnp.full((F,), trans_s)
+        return out
+
+    def step_k(x7, t, sub):
+        """One reverse SDE step F_k at time t with fixed noise key."""
+        feats = set_t(dict(init_feats, rigids_t=x7), t)
+        out = score_forward(module, params, diffuser, feats)
+        nxt = diffuser.reverse(
+            sub, Rigid.from_tensor_7(x7), out["rot_score"],
+            out["trans_score"], t, dt,
+            diffuse_mask=diffuse_mask, center=center,
+            noise_scale=noise_scale,
+        )
+        return nxt.to_tensor_7()
+
+    sweep_steps = jax.vmap(step_k)
+
+    x0 = init_feats["rigids_t"]
+    X = jnp.broadcast_to(x0[None], (T,) + x0.shape)
+
+    def cond(carry):
+        _, delta, m = carry
+        return (delta > tol) & (m < max_sweeps)
+
+    def body(carry):
+        X, _, m = carry
+        new_tail = sweep_steps(X[:-1], reverse_steps[:-1], subs)
+        X_new = jnp.concatenate([x0[None], new_tail], axis=0)
+        # trajectory change, translation in Angstroms + quat units
+        delta = jnp.max(jnp.abs(X_new - X))
+        return X_new, delta, m + 1
+
+    X, delta, n_sweeps = jax.lax.while_loop(
+        cond, body, (X, jnp.asarray(jnp.inf), jnp.asarray(0))
+    )
+
+    # final step at t = min_t: take the model x0 directly (train:1501-1503)
+    feats = set_t(dict(init_feats, rigids_t=X[-1]), min_t)
+    out = score_forward(module, params, diffuser, feats)
+    return {
+        "rigids": out["rigids"],
+        "atom37": out["atom37"],
+        "atom14": out["atom14"],
+        "angles": out["angles"],
+        "n_sweeps": n_sweeps,
+        "sweep_delta": delta,
+    }
