@@ -34,11 +34,11 @@ def scatter3d(pos_3d, mode: str = "markers", marker_size: int | None = None,
         "mode": mode,
         "marker": {},
     }
-    if marker_size:
+    if marker_size is not None:
         trace["marker"]["size"] = marker_size
     if name:
         trace["name"] = name
-    if opacity:
+    if opacity is not None:
         trace["opacity"] = opacity
     if color is not None:
         trace["marker"]["color"] = (
@@ -68,9 +68,9 @@ def cones(tail_3d, head_3d, sizemode: str = "absolute",
     }
     if name:
         trace["name"] = name
-    if opacity:
+    if opacity is not None:
         trace["opacity"] = opacity
-    if sizeref:
+    if sizeref is not None:
         trace["sizeref"] = sizeref
     return trace
 
@@ -185,7 +185,11 @@ def to_json(fig: dict) -> str:
 def write_html(fig: dict, path: str, div_id: str = "figure") -> str:
     """Self-contained HTML viewer (plotly.js from CDN; the figure JSON is
     embedded, so the file also serves as a data artifact offline)."""
-    payload = to_json(fig)
+    # '</' inside the embedded JSON (e.g. a protein name containing
+    # '</script>') would terminate the script block early / inject markup;
+    # the standard JSON-in-HTML escape keeps the payload identical after
+    # JSON.parse ('<\/' parses to '</')
+    payload = to_json(fig).replace("</", "<\\/")
     html = f"""<!DOCTYPE html>
 <html>
 <head><meta charset="utf-8"><script src="{_CDN}"></script></head>

@@ -92,14 +92,15 @@ def tm_score(pred_ca: np.ndarray, gt_ca: np.ndarray, n_iter: int = 20):
         best_local = 0.0
         for d_cut in (d0, d0 + 1.0, d0 + 2.0):
             sel = idx
+            last_Rt = None
             for _ in range(n_iter):
                 if len(sel) < 3:
                     break
                 R, t = _fit_transform(pred_ca[sel], gt_ca[sel])
+                last_Rt = (R, t)
                 d = np.linalg.norm(pred_ca @ R + t - gt_ca, axis=-1)
                 best_local = max(
-                    best_local, float(np.mean(1.0 / (1.0 + (d / d0) ** 2))),
-                    irls_refine(R, t),
+                    best_local, float(np.mean(1.0 / (1.0 + (d / d0) ** 2)))
                 )
                 new_sel = np.where(d < d_cut)[0]
                 if len(new_sel) >= 3 and (
@@ -110,6 +111,11 @@ def tm_score(pred_ca: np.ndarray, gt_ca: np.ndarray, n_iter: int = 20):
                     sel = new_sel
                 else:
                     d_cut += 0.5  # too few inliers: widen (TM-score program)
+            # ONE IRLS ascent per (fragment, d_cut), from the converged
+            # superposition — inside the inlier loop it multiplied
+            # tm_score's cost ~20x for the same maximum
+            if last_Rt is not None:
+                best_local = max(best_local, irls_refine(*last_Rt))
         return best_local
 
     if L == 0:

@@ -134,6 +134,11 @@ class ExperimentConfig:
     # optimizer pass is the largest HBM-traffic slice of a train step
     # (docs/DESIGN.md); None/"float32" = exact optax.amsgrad sequence
     opt_state_dtype: str | None = None
+    # "optax" (default, bit-compatible with optax.amsgrad) or "torch"
+    # (reproduces torch.optim.Adam(amsgrad=True) step-for-step: uncorrected
+    # nu_max + f64-accurate bias corrections — use for strict loss-curve
+    # parity runs vs the reference; configs/parity_debug.yaml sets it)
+    amsgrad_formulation: str = "optax"
     # ZeRO-1-style sharding of the AMSGrad moments over the 'data' mesh
     # axis: each device updates 1/D of the optimizer state and XLA
     # all-gathers params over ICI (parallel/sharding.py:zero_spec).

@@ -42,10 +42,14 @@ def maybe_initialize_distributed() -> bool:
     try:
         jax.distributed.initialize()
     except RuntimeError as e:
-        # Suppress only the benign re-init case. A genuine coordinator
+        # Suppress only the benign re-init case (jax phrases it
+        # "distributed.initialize should only be called once." — older
+        # versions said "already initialized"). A genuine coordinator
         # failure (bad address, timeout) must NOT silently degrade a
         # multi-host launch to single-host behavior.
-        if "already initialized" not in str(e).lower():
+        msg = str(e).lower()
+        if ("already initialized" not in msg
+                and "only be called once" not in msg):
             raise
     return True
 

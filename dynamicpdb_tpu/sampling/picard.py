@@ -44,6 +44,7 @@ import jax.numpy as jnp
 
 from dynamicpdb_tpu.models.score_network import score_forward
 from dynamicpdb_tpu.ops.rigid import Rigid
+from dynamicpdb_tpu.sampling.reverse import diffuse_mask_of, set_t_feats
 
 
 def picard_reverse_sample(
@@ -67,7 +68,6 @@ def picard_reverse_sample(
     max_sweeps >= num_t - 1 and tol = 0 the result equals the sequential
     sampler exactly (same key chain).
     """
-    F = init_feats["res_mask"].shape[0]
     T = num_t
     reverse_steps = jnp.linspace(min_t, 1.0, T)[::-1]  # t_0=1 .. t_{T-1}=min_t
     dt = 1.0 / T
@@ -82,17 +82,10 @@ def picard_reverse_sample(
         subs.append(sub)
     subs = jnp.stack(subs)
 
-    diffuse_mask = (
-        1 - init_feats["fixed_mask"].astype(jnp.float32)
-    ) * init_feats["res_mask"].astype(jnp.float32)
+    diffuse_mask = diffuse_mask_of(init_feats)
 
     def set_t(feats, t):
-        rot_s, trans_s = diffuser.score_scaling(t)
-        out = dict(feats)
-        out["t"] = jnp.full((F,), t)
-        out["rot_score_scaling"] = jnp.full((F,), rot_s)
-        out["trans_score_scaling"] = jnp.full((F,), trans_s)
-        return out
+        return set_t_feats(diffuser, feats, t)
 
     def step_k(x7, t, sub):
         """One reverse SDE step F_k at time t with fixed noise key."""

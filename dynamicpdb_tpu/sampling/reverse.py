@@ -31,6 +31,25 @@ from dynamicpdb_tpu.models.score_network import score_forward
 from dynamicpdb_tpu.ops.rigid import Rigid
 
 
+def set_t_feats(diffuser, feats: dict[str, Any], t) -> dict[str, Any]:
+    """Set t + score scalings on a featurized window (_set_t_feats,
+    train:1408-1413). Shared by the sequential and Picard samplers so the
+    time featurization cannot silently diverge between them."""
+    F = feats["res_mask"].shape[0]
+    rot_s, trans_s = diffuser.score_scaling(t)
+    out = dict(feats)
+    out["t"] = jnp.full((F,), t)
+    out["rot_score_scaling"] = jnp.full((F,), rot_s)
+    out["trans_score_scaling"] = jnp.full((F,), trans_s)
+    return out
+
+
+def diffuse_mask_of(feats: dict[str, Any]):
+    return (
+        1 - feats["fixed_mask"].astype(jnp.float32)
+    ) * feats["res_mask"].astype(jnp.float32)
+
+
 def reverse_sample(
     key,
     module,
@@ -52,17 +71,11 @@ def reverse_sample(
     prediction and (optionally) per-step trajectories ordered time-forward
     (index 0 = final denoised state, matching the reference's flip).
     """
-    F = init_feats["res_mask"].shape[0]
     reverse_steps = jnp.linspace(min_t, 1.0, num_t)[::-1]
     dt = 1.0 / num_t
 
     def set_t(feats, t):
-        rot_s, trans_s = diffuser.score_scaling(t)
-        out = dict(feats)
-        out["t"] = jnp.full((F,), t)
-        out["rot_score_scaling"] = jnp.full((F,), rot_s)
-        out["trans_score_scaling"] = jnp.full((F,), trans_s)
-        return out
+        return set_t_feats(diffuser, feats, t)
 
     def model_fwd(feats, drop_ref=False):
         return score_forward(module, params, diffuser, feats, drop_ref=drop_ref)
@@ -78,9 +91,7 @@ def reverse_sample(
             trans_score = out_unref["trans_score"] + cfg_gamma * (
                 trans_score - out_unref["trans_score"]
             )
-        diffuse_mask = (
-            1 - init_feats["fixed_mask"].astype(jnp.float32)
-        ) * init_feats["res_mask"].astype(jnp.float32)
+        diffuse_mask = diffuse_mask_of(init_feats)
         next_rigids = diffuser.reverse(
             sub,
             Rigid.from_tensor_7(rigids_t7),

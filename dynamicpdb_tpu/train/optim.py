@@ -167,7 +167,10 @@ def make_optimizer(experiment_cfg) -> optax.GradientTransformation:
         state_dtype = jnp.dtype(name)
         if state_dtype == jnp.float32:
             state_dtype = None  # f32 path = exact optax.amsgrad sequence
-    opt = amsgrad(experiment_cfg.learning_rate, state_dtype=state_dtype)
+    opt = amsgrad(
+        experiment_cfg.learning_rate, state_dtype=state_dtype,
+        formulation=getattr(experiment_cfg, "amsgrad_formulation", "optax"),
+    )
     if experiment_cfg.grad_clip_norm:
         opt = optax.chain(
             optax.clip_by_global_norm(experiment_cfg.grad_clip_norm), opt

@@ -74,3 +74,16 @@ def test_auto_rejected_for_pure_bool_field():
     stored into a pure-bool field would silently ENABLE the feature."""
     with pytest.raises(ValueError, match="auto"):
         apply_overrides(Config(), ["experiment.bf16=auto"])
+
+
+def test_parity_debug_preset_wires_torch_formulation():
+    """configs/parity_debug.yaml must reach the optimizer factory: the
+    'torch' AMSGrad formulation was previously unreachable from config."""
+    from dynamicpdb_tpu.config import load_yaml
+    from dynamicpdb_tpu.train.optim import make_optimizer
+
+    cfg = load_yaml("configs/parity_debug.yaml")
+    assert cfg.experiment.amsgrad_formulation == "torch"
+    assert cfg.experiment.batch_size == 1
+    assert cfg.experiment.opt_state_dtype is None
+    make_optimizer(cfg.experiment)  # constructs without error

@@ -5,10 +5,8 @@ pre-generated with the sequential sampler's exact key chain), so with
 enough sweeps the two samplers must agree bit-close; with early stopping
 they agree to the sweep tolerance."""
 import numpy as np
-import pytest
 
 import jax
-import jax.numpy as jnp
 
 from dynamicpdb_tpu.sampling.picard import picard_reverse_sample
 from dynamicpdb_tpu.sampling.reverse import reverse_sample

@@ -58,10 +58,8 @@ def test_release_embeddings_match_reference_extractor():
     """Live A/B vs the reference's vendored OmegaFold under the SAME
     released weights — the acceptance criterion of docs/OMEGAFOLD_PORT.md."""
     import sys
-    import types
 
     sys.path.insert(0, "/root/reference/src/toolbox/OmegaFold")
-    import torch
 
     from omegafold import pipeline  # noqa: F401  (vendored reference tree)
     from omegafold.__main__ import OmegaFoldModel

@@ -94,7 +94,6 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 
-sys.path.insert(0, "/root/repo")
 from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
 
 # reuse the test-suite cache: this script runs as a subprocess of

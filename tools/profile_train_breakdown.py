@@ -47,11 +47,10 @@ def main(argv=None):
     )
     from dynamicpdb_tpu.data.synthetic import make_window
     from dynamicpdb_tpu.diffusion.r3_diffuser import R3Config
-    from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Config, SE3Diffuser
+    from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Config
     from dynamicpdb_tpu.diffusion.so3_diffuser import SO3Config
     from dynamicpdb_tpu.models.score_network import score_forward
     from dynamicpdb_tpu.train.experiment import Trainer
-    from dynamicpdb_tpu.train.losses import dfold_loss
 
     cfg = Config(
         model=ModelConfig(compute_dtype="bfloat16", remat=False),
