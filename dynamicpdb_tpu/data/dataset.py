@@ -42,8 +42,16 @@ def _load_force_vel(path: str, suffix: str) -> np.ndarray:
 def pad_window(raw: dict, pad_to: int) -> dict:
     """Zero-pad the residue axis to pad_to (masks keep semantics)."""
     n = raw["aatype"].shape[0]
-    if n >= pad_to:
+    if n == pad_to:
         return raw
+    if n > pad_to:
+        # returning the window unpadded would silently break the
+        # static-shape invariant pad_to exists for (second XLA compile, or
+        # np.stack crash against padded batch mates)
+        raise ValueError(
+            f"window has {n} residues > pad_to={pad_to}; raise pad_to or "
+            f"filter by seq_len (data.filtering.max_len)"
+        )
     p = pad_to - n
 
     def pad(x, axes):
@@ -91,13 +99,21 @@ class TrajectoryDataset:
     # -- window extraction ----------------------------------------------------
     def _select_window(self, n_frames: int, rng: np.random.Generator):
         F, k = self.cfg.frame_time, self.cfg.frame_sample_step
+        if n_frames < F * k:
+            # eval used to clamp silently and yield FEWER than F frames —
+            # a shape mismatch against the compiled step downstream
+            raise ValueError(
+                f"trajectory too short: {n_frames} frames for window "
+                f"F={F} stride={k}"
+            )
         if self.split == "train":
             limit = min(n_frames, self.cfg.keep_first or n_frames)
             hi = limit - F * k + 1
             if hi < 1:
                 raise ValueError(
-                    f"trajectory too short: {n_frames} frames for window "
-                    f"F={F} stride={k}"
+                    f"trajectory too short: keep_first="
+                    f"{self.cfg.keep_first} frames for window F={F} "
+                    f"stride={k}"
                 )
             start = int(rng.integers(0, hi))
         else:
@@ -106,19 +122,43 @@ class TrajectoryDataset:
                 start = max(0, n_frames - F * k)
         return slice(start, start + F * k, k)
 
+    def _load_bundle(self, path: str):
+        """Load a trajectory bundle with a tiny LRU cache.
+
+        np.load(mmap_mode='r') is silently IGNORED for members of a .npz
+        (compressed members cannot be mmapped), so every access decompresses
+        the full trajectory array. batch_iterator draws the SAME protein
+        batch_size times per batch, which would redo that decompression B
+        times; caching the last two opened bundles (keys -> ndarray) makes
+        the repeats free. True mmap requires per-key .npy files
+        (preprocess/pack.py can emit them), same as the reference, whose
+        mmap_mode on npz has the identical silent no-op.
+        """
+        cache = getattr(self, "_bundle_cache", None)
+        if cache is None:
+            cache = self._bundle_cache = {}
+        if path not in cache:
+            if len(cache) >= 2:  # keep at most 2 decompressed trajectories
+                cache.pop(next(iter(cache)))
+            with np.load(path, allow_pickle=True) as z:
+                cache[path] = {k: z[k] for k in z.files}
+        else:
+            cache[path] = cache.pop(path)  # mark most-recently-used
+        return cache[path]
+
     def get_window(self, idx: int, rng: np.random.Generator) -> dict:
         row = self.df.iloc[idx]
-        bundle = np.load(row["atlas_npz"], allow_pickle=True, mmap_mode="r")
+        bundle = self._load_bundle(row["atlas_npz"])
         positions = bundle["all_atom_positions"]
         sel = self._select_window(positions.shape[0], rng)
 
-        if "force" in getattr(bundle, "files", []):
+        if "force" in bundle:
             force, vel = bundle["force"], bundle["vel"]
         else:
             force = _load_force_vel(row["force_path"], "_Ca.pkl")
             vel = _load_force_vel(row["vel_path"], "_ca.pkl")
 
-        if "node_repr" in getattr(bundle, "files", []):
+        if "node_repr" in bundle:
             node_repr, edge_repr = bundle["node_repr"], bundle["edge_repr"]
         else:
             embed = np.load(row["embed_path"])
@@ -164,6 +204,27 @@ class EpochSampler:
     host_index: int = 0
     shuffle: bool = True
 
+    def __post_init__(self):
+        if self.num_hosts > 1 and self.batch_size % self.num_hosts:
+            # striding AFTER batch repetition (the reference's subsample
+            # order, Dfold_data_loader_dynamic.py:502-519) only preserves
+            # the one-protein-per-batch contract when each host receives a
+            # whole number of copies per protein
+            raise ValueError(
+                f"batch_size={self.batch_size} must divide evenly over "
+                f"num_hosts={self.num_hosts}"
+            )
+
+    @property
+    def local_batch_size(self) -> int:
+        """Rows each host actually consumes per batch. The GLOBAL batch is
+        batch_size copies of one protein; after host striding every host
+        holds batch_size/num_hosts contiguous copies (a round-3 review
+        found the iterator previously stacked batch_size LOCAL rows —
+        mixing num_hosts different proteins per batch and paying the full
+        global-batch I/O on every host)."""
+        return self.batch_size // self.num_hosts
+
     def epoch_indices(self, epoch: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed + epoch)
         idx = (
@@ -186,7 +247,7 @@ def batch_iterator(dataset: TrajectoryDataset, sampler: EpochSampler,
     rng = np.random.default_rng(
         np.random.SeedSequence([sampler.seed, epoch, sampler.host_index])
     )
-    B = sampler.batch_size
+    B = sampler.local_batch_size
     for i in range(0, len(idx) - B + 1, B):
         windows = [dataset.get_window(int(j), rng) for j in idx[i : i + B]]
         if drop_names:

@@ -26,6 +26,12 @@ class DevicePrefetcher:
         buffer_size: number of in-flight device batches (2 = double buffer).
         place: batch -> device batch (default jax.device_put; pass a
             sharded placement like parallel.mesh.shard_batch for meshes).
+
+    Abandoning the iterator mid-epoch (e.g. Experiment.train hitting
+    max_steps) must call close() — otherwise the worker thread stays
+    blocked in q.put holding buffer_size device-resident batches (hundreds
+    of MB of HBM at flagship shapes) for the life of the process. Use as a
+    context manager or rely on the consumer calling close() on early exit.
     """
 
     def __init__(self, it: Iterable, buffer_size: int = 2,
@@ -33,18 +39,47 @@ class DevicePrefetcher:
         self._q: queue.Queue = queue.Queue(maxsize=buffer_size)
         self._place = place or jax.device_put
         self._err: BaseException | None = None
+        self._stop = threading.Event()
 
         def worker():
             try:
                 for batch in it:
-                    self._q.put(self._place(batch))
+                    placed = self._place(batch)
+                    # poll the put so close() can unblock us
+                    while not self._stop.is_set():
+                        try:
+                            self._q.put(placed, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._stop.is_set():
+                        return
             except BaseException as e:  # propagate into the consumer
                 self._err = e
             finally:
-                self._q.put(_SENTINEL)
+                try:
+                    self._q.put_nowait(_SENTINEL)
+                except queue.Full:
+                    pass  # consumer is gone; close() drains anyway
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self, timeout: float = 5.0):
+        """Stop the worker and release buffered device batches."""
+        self._stop.set()
+        while True:  # drain so a blocked put can observe the stop flag
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._thread.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
     def __iter__(self) -> Iterator:
         while True:

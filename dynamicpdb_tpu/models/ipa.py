@@ -28,6 +28,41 @@ from dynamicpdb_tpu.models.layers import Linear
 from dynamicpdb_tpu.ops.rigid import Rigid
 
 
+def dense_ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
+                        head_weights, c_qk, c_b=math.sqrt(1.0 / 3),
+                        inf=1e5):
+    """Dense (non-Pallas) IPA attention — the semantics of record.
+
+    Point-distance term decomposed for the MXU:
+      sum_p |qp_i - kp_j|^2 = |qp_i|^2 + |kp_j|^2 - 2 qp_i . kp_j
+    (the torch reference materializes [F, N, N, H, Pq, 3] in HBM; the cross
+    term here is one [N, N] matmul per (f, h)).
+
+    The ONE dense implementation: the model's non-Pallas branch AND the
+    Pallas kernel's dense-recompute VJP/verification path both call this,
+    so a masking/scaling change cannot silently diverge between them.
+    Returns (o [F,N,H,C], o_pt_global [F,N,H,P,3], o_pair [F,N,H,Dz]).
+    """
+    a = jnp.einsum("fihc,fjhc->fhij", q, k) * c_qk
+    a = a + c_b * jnp.transpose(bias, (2, 0, 1))[None]
+    qp_sq = jnp.sum(q_pts**2, axis=(-1, -2))  # [F, N, H]
+    kp_sq = jnp.sum(k_pts**2, axis=(-1, -2))  # [F, N, H]
+    cross = jnp.einsum("fihpx,fjhpx->fhij", q_pts, k_pts)
+    pt_att = (
+        qp_sq.transpose(0, 2, 1)[..., :, None]
+        + kp_sq.transpose(0, 2, 1)[..., None, :]
+        - 2 * cross
+    )  # [F, H, N, N]
+    a = a + (-0.5) * head_weights[None, :, None, None] * pt_att
+    a = a + inf * (mask[:, :, None] * mask[:, None, :] - 1.0)[:, None]
+    a = nn.softmax(a, axis=-1)  # [F, H, N, N]
+    return (
+        jnp.einsum("fhij,fjhc->fihc", a, v),
+        jnp.einsum("fhij,fjhpx->fihpx", a, v_pts),
+        jnp.einsum("fhij,ijd->fihd", a, pair_z),
+    )
+
+
 class InvariantPointAttention(nn.Module):
     cfg: IPAConfig
     inf: float = 1e5
@@ -98,29 +133,12 @@ class InvariantPointAttention(nn.Module):
             o = o.reshape(F, N, H * C)
             o_pair = o_pair.reshape(F, N, -1)
         else:
-            # attention logits; point-distance term decomposed for the MXU:
-            #   sum_p |qp_i - kp_j|^2 = |qp_i|^2 + |kp_j|^2 - 2 qp_i . kp_j
-            # (the torch reference materializes [F, N, N, H, Pq, 3] in HBM;
-            # the cross term here is one [N, N] matmul per (f, h))
-            a = jnp.einsum("fihc,fjhc->fhij", q, k) * c_qk
-            a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (2, 0, 1))[None]
-            qp_sq = jnp.sum(q_pts**2, axis=(-1, -2))  # [F, N, H]
-            kp_sq = jnp.sum(k_pts**2, axis=(-1, -2))  # [F, N, H]
-            cross = jnp.einsum("fihpx,fjhpx->fhij", q_pts, k_pts)
-            pt_att = (
-                qp_sq.transpose(0, 2, 1)[..., :, None]
-                + kp_sq.transpose(0, 2, 1)[..., None, :]
-                - 2 * cross
-            )  # [F, H, N, N]
-            a = a + (-0.5) * head_weights[None, :, None, None] * pt_att
-
-            square_mask = self.inf * (mask[:, :, None] * mask[:, None, :] - 1.0)
-            a = a + square_mask[:, None]
-            a = nn.softmax(a, axis=-1)  # [F, H, N, N]
-
-            o = jnp.einsum("fhij,fjhc->fihc", a, v).reshape(F, N, H * C)
-            o_pt_global = jnp.einsum("fhij,fjhpx->fihpx", a, v_pts)
-            o_pair = jnp.einsum("fhij,ijd->fihd", a, pair_z).reshape(F, N, -1)
+            o, o_pt_global, o_pair = dense_ipa_attention(
+                q, k, v, q_pts, k_pts, v_pts, b, pair_z, mask,
+                head_weights, c_qk, inf=self.inf,
+            )
+            o = o.reshape(F, N, H * C)
+            o_pair = o_pair.reshape(F, N, -1)
 
         # DFOLD extra: keep the non-inverted (global-frame) point outputs
         o_pt_local = r[..., None, None].invert_apply(o_pt_global)

@@ -508,26 +508,16 @@ def _fused_ipa_backward(qf, kf, vf, qpf, kpf, vpf, bias_f, pair_z, maskf,
 
 def _dense_reference(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
                      head_weights, c_qk, c_b, inf):
-    """Straight-line jnp computation with identical semantics (used for the
-    VJP; XLA's attention backward is efficient and this avoids hand-writing
-    the multi-stream flash backward)."""
-    a = jnp.einsum("fihc,fjhc->fhij", q, k) * c_qk
-    a = a + c_b * jnp.transpose(bias, (2, 0, 1))[None]
-    qp_sq = jnp.sum(q_pts**2, axis=(-1, -2))
-    kp_sq = jnp.sum(k_pts**2, axis=(-1, -2))
-    cross = jnp.einsum("fihpx,fjhpx->fhij", q_pts, k_pts)
-    pt = (
-        qp_sq.transpose(0, 2, 1)[..., :, None]
-        + kp_sq.transpose(0, 2, 1)[..., None, :]
-        - 2 * cross
-    )
-    a = a + (-0.5) * head_weights[None, :, None, None] * pt
-    a = a + inf * (mask[:, :, None] * mask[:, None, :] - 1.0)[:, None]
-    a = jax.nn.softmax(a, axis=-1)
-    return (
-        jnp.einsum("fhij,fjhc->fihc", a, v),
-        jnp.einsum("fhij,fjhpx->fihpx", a, v_pts),
-        jnp.einsum("fhij,ijd->fihd", a, pair_z),
+    """The model's dense attention (used for the VJP; XLA's attention
+    backward is efficient and this avoids hand-writing the multi-stream
+    flash backward). Delegates to models.ipa.dense_ipa_attention — the ONE
+    dense implementation — so the kernel is always verified against the
+    exact semantics the model ships."""
+    from dynamicpdb_tpu.models.ipa import dense_ipa_attention
+
+    return dense_ipa_attention(
+        q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask, head_weights,
+        c_qk, c_b=c_b, inf=inf,
     )
 
 

@@ -85,14 +85,13 @@ class Rigid:
         Same convention as the reference (rigid_utils.py:1233-1275):
         e0 = normalize(origin - p_neg_x_axis), e1 ⟂ e0 toward p_xy_plane,
         rotation columns are (e0, e1, e0 x e1), translation = origin.
+        Delegates to ops.frames._gram_schmidt — ONE implementation of the
+        construction (an eps/degeneracy fix must not silently diverge
+        between the frame featurizer and Rigid consumers).
         """
-        e0 = origin - p_neg_x_axis
-        e1 = p_xy_plane - origin
-        e0 = e0 / jnp.sqrt(jnp.sum(e0 * e0, -1, keepdims=True) + eps)
-        e1 = e1 - e0 * jnp.sum(e0 * e1, -1, keepdims=True)
-        e1 = e1 / jnp.sqrt(jnp.sum(e1 * e1, -1, keepdims=True) + eps)
-        e2 = jnp.cross(e0, e1)
-        rot = jnp.stack([e0, e1, e2], axis=-1)  # columns
+        from dynamicpdb_tpu.ops.frames import _gram_schmidt
+
+        rot = _gram_schmidt(p_neg_x_axis, origin, p_xy_plane, eps=eps)
         return cls(so3.rotmat_to_quat(rot), origin)
 
     # -- core ops -------------------------------------------------------------

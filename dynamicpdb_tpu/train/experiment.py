@@ -268,36 +268,39 @@ class Experiment:
             batches = prefetch_to_device(
                 self.data_iter_factory(epoch), buffer_size=2, place=place
             )
-            for raw_batch in batches:
-                self.key, step_key = jax.random.split(self.key)
-                self.params, self.opt_state, aux = step_fn(
-                    self.params, self.opt_state, step_key, raw_batch
-                )
-                self.step += 1
-                rolling.append(aux)
-                if self.step == 1 or self.step % cfg.log_freq == 0:
-                    means = {
-                        k: float(np.mean([float(a[k]) for a in rolling]))
-                        for k in rolling[0]
-                    }
-                    dt = time.time() - t_log
-                    sps = len(rolling) / dt if dt > 0 else float("inf")
-                    log.info(
-                        "epoch %d step %d: %s steps/sec=%.3f",
-                        epoch, self.step,
-                        " ".join(f"{k}={v:.4f}" for k, v in means.items()),
-                        sps,
+            # close() on every exit path: an abandoned prefetcher leaves its
+            # worker blocked in q.put pinning device-resident batches
+            with batches:
+                for raw_batch in batches:
+                    self.key, step_key = jax.random.split(self.key)
+                    self.params, self.opt_state, aux = step_fn(
+                        self.params, self.opt_state, step_key, raw_batch
                     )
-                    history.append({"step": self.step, **means, "steps_per_sec": sps})
-                    if self.metrics_writer is not None:
-                        self.metrics_writer.write(
-                            self.step, {**means, "steps_per_sec": sps}
+                    self.step += 1
+                    rolling.append(aux)
+                    if self.step == 1 or self.step % cfg.log_freq == 0:
+                        means = {
+                            k: float(np.mean([float(a[k]) for a in rolling]))
+                            for k in rolling[0]
+                        }
+                        dt = time.time() - t_log
+                        sps = len(rolling) / dt if dt > 0 else float("inf")
+                        log.info(
+                            "epoch %d step %d: %s steps/sec=%.3f",
+                            epoch, self.step,
+                            " ".join(f"{k}={v:.4f}" for k, v in means.items()),
+                            sps,
                         )
-                    rolling = []
-                    t_log = time.time()
-                if max_steps is not None and self.step >= max_steps:
-                    self.epoch = epoch
-                    return history
+                        history.append({"step": self.step, **means, "steps_per_sec": sps})
+                        if self.metrics_writer is not None:
+                            self.metrics_writer.write(
+                                self.step, {**means, "steps_per_sec": sps}
+                            )
+                        rolling = []
+                        t_log = time.time()
+                    if max_steps is not None and self.step >= max_steps:
+                        self.epoch = epoch
+                        return history
             self.epoch = epoch
             if (
                 self.eval_fn is not None and self.eval_every

@@ -77,8 +77,8 @@ def test_padding(csv_dir):
 
 
 def test_epoch_sampler_determinism_and_striding():
-    s0 = EpochSampler(n_items=5, batch_size=3, seed=7, num_hosts=2, host_index=0)
-    s1 = EpochSampler(n_items=5, batch_size=3, seed=7, num_hosts=2, host_index=1)
+    s0 = EpochSampler(n_items=5, batch_size=4, seed=7, num_hosts=2, host_index=0)
+    s1 = EpochSampler(n_items=5, batch_size=4, seed=7, num_hosts=2, host_index=1)
     a0, a1 = s0.epoch_indices(2), s1.epoch_indices(2)
     # same epoch -> reproducible
     np.testing.assert_array_equal(a0, s0.epoch_indices(2))
@@ -89,7 +89,27 @@ def test_epoch_sampler_determinism_and_striding():
     full = np.empty(len(a0) + len(a1), dtype=a0.dtype)
     full[0::2], full[1::2] = a0, a1
     counts = np.bincount(full, minlength=5)
-    assert counts.min() >= 3  # every item repeated ~batch_size times
+    assert counts.min() >= 4  # every item repeated ~batch_size times
+
+
+def test_epoch_sampler_local_batches_are_single_protein():
+    """Per-host local batches must hold copies of ONE protein (round-3
+    review: striding after repetition used to mix num_hosts proteins into
+    each local batch and pay global-batch I/O on every host)."""
+    import pytest as _pytest
+
+    B, H = 4, 2
+    for h in range(H):
+        s = EpochSampler(n_items=5, batch_size=B, seed=3, num_hosts=H,
+                         host_index=h)
+        idx = s.epoch_indices(0)
+        local = s.local_batch_size
+        assert local == B // H
+        for i in range(0, len(idx) - local + 1, local):
+            chunk = idx[i:i + local]
+            assert len(set(chunk.tolist())) == 1, (h, i, chunk)
+    with _pytest.raises(ValueError, match="divide evenly"):
+        EpochSampler(n_items=5, batch_size=3, seed=0, num_hosts=2)
 
 
 def test_batch_iterator(csv_dir):
@@ -207,3 +227,31 @@ def test_reference_multifile_layout_interop(tmp_path):
     assert raw["force"].shape == (2, 7, 3)
     assert raw["node_repr"].shape == (7, 256)
     np.testing.assert_allclose(raw["atom37"][0], w["atom37"][0], atol=2e-3)
+
+
+def test_device_prefetcher_close_unblocks_worker():
+    """Abandoning the iterator mid-epoch must not leave the worker thread
+    blocked in q.put pinning device batches (round-3 review finding)."""
+    import itertools
+    import time as _time
+
+    from dynamicpdb_tpu.data.prefetch import prefetch_to_device
+
+    src = ({"x": np.full((4,), i)} for i in itertools.count())  # infinite
+    pf = prefetch_to_device(src, buffer_size=2)
+    it = iter(pf)
+    next(it)  # consume one; worker now blocked on a full queue
+    pf.close()
+    assert not pf._thread.is_alive()
+
+    # context-manager form + early break
+    with prefetch_to_device(
+        ({"x": np.full((4,), i)} for i in itertools.count()), buffer_size=2
+    ) as pf2:
+        for i, b in enumerate(pf2):
+            if i == 1:
+                break
+    deadline = _time.time() + 5
+    while pf2._thread.is_alive() and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert not pf2._thread.is_alive()

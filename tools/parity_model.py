@@ -94,16 +94,14 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+
 from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
 
 # reuse the test-suite cache: this script runs as a subprocess of
 # tests/test_model_parity.py and its compiles dominate that test's time
-enable_persistent_cache(
-    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                 ".cache", "jax_tests")
-)
-
-sys.path.insert(0, "/root/repo")
+enable_persistent_cache(os.path.join(_REPO, ".cache", "jax_tests"))
 from dynamicpdb_tpu.config import EmbedConfig, IPAConfig, ModelConfig  # noqa: E402
 from dynamicpdb_tpu.diffusion.r3_diffuser import R3Config  # noqa: E402
 from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Config, SE3Diffuser  # noqa: E402
