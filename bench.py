@@ -237,6 +237,28 @@ def main():
     print(f"rollout frames/sec: best={fps:.3f} median={fps_med:.3f}",
           file=sys.stderr)
 
+    # --- fast_x0 serving path: identical trajectories, 1 forward/frame ----
+    # (exact for this x0-predictor architecture; equality regression-tested
+    # in tests/test_sampler.py::test_fast_x0_rollout_identical)
+    roll_fast = jax.jit(
+        lambda p, k: rollout(
+            k, model, p, diffuser, feats,
+            n_steps=ROLLOUT_FRAMES, num_t=NUM_T, noise_scale=0.1,
+            fast_x0=True,
+        )
+    )
+    out = roll_fast(params, jax.random.PRNGKey(2))
+    np.asarray(out[1])
+    fast_runs = []
+    for rep in range(3):
+        t0 = time.time()
+        out = roll_fast(params, jax.random.PRNGKey(3 + rep))
+        np.asarray(out[1])
+        fast_runs.append(ROLLOUT_FRAMES / (time.time() - t0))
+    fps_fast = float(np.median(fast_runs))
+    print(f"fast_x0 rollout frames/sec: median={fps_fast:.3f}",
+          file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -245,6 +267,7 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 20.0, 3),
                 "rollout_fps_median": round(fps_med, 3),
+                "rollout_fps_fast_x0": round(fps_fast, 3),
                 "train_windows_per_sec_b8": round(wps_b8, 3),
                 "train_windows_per_sec_b8_best": round(wps_b8_best, 3),
                 "mfu_b8_median": mfu_b8,

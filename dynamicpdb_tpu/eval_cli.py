@@ -28,6 +28,10 @@ def main(argv=None):
                         "weights via train/import_torch")
     parser.add_argument("--config", default=None)
     parser.add_argument("--save-dir", default=None)
+    parser.add_argument("--fast-x0", action="store_true",
+                        help="1 forward per rollout frame instead of num_t "
+                        "(exact for this x0-predictor architecture; "
+                        "trajectories identical, ~num_t x faster serving)")
     parser.add_argument("--extension", type=int, default=0,
                         help="if >0, run an N-step autoregressive rollout "
                         "per protein instead of single-window eval")
@@ -126,6 +130,7 @@ def _run_eval(args, cfg, trainer, params, dataset, key, log):
                     k, trainer.model, p, trainer.diffuser, f,
                     n_steps=args.extension, num_t=cfg.data.num_t,
                     noise_scale=cfg.experiment.noise_scale,
+                    fast_x0=args.fast_x0,
                 )
             )(params, key, feats)
             out = f"{args.save_dir or '.'}/{name}_extension.npz"

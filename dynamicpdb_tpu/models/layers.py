@@ -17,7 +17,6 @@ batch-statistics-dependent for parity.
 """
 from __future__ import annotations
 
-import math
 
 import flax.linen as nn
 import jax
@@ -60,18 +59,36 @@ def Linear(features: int, init: str = "default", use_bias: bool = True,
 
 
 class GlobalStatNorm(nn.Module):
-    """(x - mean) / sqrt(var + 1e-4) with mean/var over ALL elements,
-    unbiased variance — exact MyLayerNorm semantics. Statistics always in
-    float32 (stable under bf16 activations)."""
+    """(x - mean) / sqrt(var + 1e-4) with mean/var over all REAL elements,
+    unbiased variance — exact MyLayerNorm semantics on unpadded tensors.
+    Statistics always in float32 (stable under bf16 activations).
+
+    mask ([..., N], broadcastable over x's leading dims) excludes padded
+    residues from the statistics. The reference's MyLayerNorm only ever
+    sees unpadded tensors; with fixed-shape TPU padding, pad rows carry
+    bias-derived constants whose count scales with pad_to — without
+    masking, real-residue outputs would depend on the padding size
+    (round-3 review finding; regression: tests/test_pad_invariance.py::
+    test_model_forward_pad_invariant). With mask=None or all-ones this is
+    bit-equivalent to the reference statistics up to summation order.
+    """
 
     eps: float = 1e-4
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32)
-        n = x.size
-        var = jnp.sum((x32 - mean) ** 2) / jnp.maximum(n - 1, 1)
+        if mask is None:
+            mean = jnp.mean(x32)
+            n = x.size
+            var = jnp.sum((x32 - mean) ** 2) / jnp.maximum(n - 1, 1)
+        else:
+            m = jnp.broadcast_to(
+                mask.astype(jnp.float32)[..., None], x32.shape
+            )
+            n = jnp.sum(m)
+            mean = jnp.sum(x32 * m) / jnp.maximum(n, 1.0)
+            var = jnp.sum((x32 - mean) ** 2 * m) / jnp.maximum(n - 1.0, 1.0)
         return ((x32 - mean) / jnp.sqrt(var + self.eps)).astype(x.dtype)
 
 
@@ -83,11 +100,11 @@ class MLPEmbedder(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, mask=None):
         x = Linear(self.features, "torch", dtype=self.dtype)(x)
         x = nn.silu(x)
         x = Linear(self.features, "torch", dtype=self.dtype)(x)
-        x = GlobalStatNorm()(x)
+        x = GlobalStatNorm()(x, mask=mask)
         return nn.silu(x)
 
 
@@ -158,59 +175,37 @@ class ConvNet(nn.Module):
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x):
-        h = x
+    def __call__(self, x, mask=None):
+        """mask ([F, N]) re-zeroes pad rows after EVERY conv: each 5x5
+        SAME conv writes bias-derived values into pad rows, and the next
+        conv would bleed them back into boundary real residues — with the
+        mask, every conv input is zero at pad rows, so real-row outputs
+        are identical for any pad_to (including none). No-op on unpadded
+        input."""
+        z = None if mask is None else mask[..., None].astype(x.dtype)
+
+        def m(v):
+            return v if z is None else v * z
+
+        h = m(x)
         for i in range(4):
             r = _Conv5x5(self.dim // 2, dtype=self.dtype,
                          name=f"Conv_{2 * i}")(h)
-            r = nn.relu(r)
+            r = m(nn.relu(r))
             r = _Conv5x5(self.dim, dtype=self.dtype,
                          name=f"Conv_{2 * i + 1}")(r)
-            r = nn.relu(r)
+            r = m(nn.relu(r))
             h = h + r
         return h
 
 
-class StructureModuleTransition(nn.Module):
-    """3-layer residual MLP + LayerNorm (ipa_pytorch_dynamic.py:175-197)."""
-
-    c: int
-
-    @nn.compact
-    def __call__(self, s):
-        s0 = s
-        s = nn.relu(Linear(self.c, "relu")(s))
-        s = nn.relu(Linear(self.c, "relu")(s))
-        s = Linear(self.c, "final")(s)
-        return nn.LayerNorm()(s + s0)
-
-
-class EdgeTransition(nn.Module):
-    """Node-conditioned edge update (ipa_pytorch_dynamic.py:200-239)."""
-
-    node_embed_size: int
-    edge_embed_out: int
-    num_layers: int = 2
-    node_dilation: int = 2
-
-    @nn.compact
-    def __call__(self, node_embed, edge_embed):
-        bias_size = self.node_embed_size // self.node_dilation
-        node_embed = Linear(bias_size, "relu")(node_embed)
-        num_res = node_embed.shape[-2]
-        edge_bias = jnp.concatenate(
-            [
-                jnp.tile(node_embed[..., :, None, :], (1,) * (node_embed.ndim - 2) + (1, num_res, 1)),
-                jnp.tile(node_embed[..., None, :, :], (1,) * (node_embed.ndim - 2) + (num_res, 1, 1)),
-            ],
-            axis=-1,
-        )
-        edge_embed = jnp.concatenate([edge_embed, edge_bias], axis=-1)
-        h = edge_embed
-        for _ in range(self.num_layers):
-            h = nn.relu(Linear(edge_embed.shape[-1], "relu")(h))
-        out = Linear(self.edge_embed_out, "final")(h + edge_embed)
-        return nn.LayerNorm()(out)
+# NOTE: the reference also defines StructureModuleTransition (:175),
+# EdgeTransition (:200), timestep_embedding and index_embedding
+# (src/model/utils.py) — all DEAD on its active DFOLDv2 path (proven by
+# weight-transfer parity: every used parameter is mapped and outputs match
+# to <=1e-5, tools/parity_model.py). They are intentionally not mirrored
+# here; a round-3 review found the previous dead mirrors harbored a latent
+# ZeroDivisionError no test could ever reach.
 
 
 class BackboneUpdate(nn.Module):
@@ -257,28 +252,3 @@ class AngleResnet(nn.Module):
         unnormalized = s
         norm = jnp.sqrt(jnp.clip(jnp.sum(s**2, -1, keepdims=True), self.eps))
         return unnormalized, s / norm
-
-
-def timestep_embedding(t, dim: int, max_positions: int = 10000):
-    """Sinusoidal diffusion-time embedding (src/model/utils.py:46-59):
-    t in [0,1] scaled by max_positions."""
-    t = jnp.atleast_1d(t) * max_positions
-    half = dim // 2
-    freqs = jnp.exp(
-        -math.log(max_positions) * jnp.arange(half, dtype=jnp.float32) / (half - 1)
-    )
-    args = t[:, None].astype(jnp.float32) * freqs[None]
-    emb = jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
-    if dim % 2 == 1:
-        emb = jnp.pad(emb, ((0, 0), (0, 1)))
-    return emb
-
-
-def index_embedding(indices, embed_size: int, max_len: int = 2056):
-    """Sinusoidal positional embedding over integer indices
-    (src/model/utils.py:5-24)."""
-    K = jnp.arange(embed_size // 2, dtype=jnp.float32)
-    scale = indices[..., None].astype(jnp.float32) * jnp.pi / (
-        max_len ** (2 * K[None] / embed_size)
-    )
-    return jnp.concatenate([jnp.sin(scale), jnp.cos(scale)], axis=-1)

@@ -102,13 +102,20 @@ class DFoldScoreNetwork(nn.Module):
         angle = angle * feats["torsion_angles_mask"][..., None].astype(jnp.float32)
         angle = _ref_cat(angle).reshape(F, N, -1) * keep  # [F, N, 14]
 
-        force_embed = MLPEmbedder(D, dtype=dtype, name="force_embeder")(force)
-        vel_embed = MLPEmbedder(D, dtype=dtype, name="vel_embeder")(vel)
-        angle_embed = MLPEmbedder(D, dtype=dtype, name="angle_embeder")(angle)
+        # mask= keeps every GlobalStatNorm statistic over REAL residues
+        # only: pad rows carry bias-derived constants that would otherwise
+        # make real-residue outputs depend on pad_to (see layers.py)
+        force_embed = MLPEmbedder(D, dtype=dtype, name="force_embeder")(
+            force, mask=node_mask)
+        vel_embed = MLPEmbedder(D, dtype=dtype, name="vel_embeder")(
+            vel, mask=node_mask)
+        angle_embed = MLPEmbedder(D, dtype=dtype, name="angle_embeder")(
+            angle, mask=node_mask)
 
         # node features: index embedding (frame-shared) + OmegaFold node repr
         seq_idx = feats["seq_idx"][0:1, :, None].astype(jnp.float32)  # [1, N, 1]
-        node_embed = MLPEmbedder(D, dtype=dtype, name="index_embeder")(seq_idx)
+        node_embed = MLPEmbedder(D, dtype=dtype, name="index_embeder")(
+            seq_idx, mask=node_mask[0:1])
         node_embed = jnp.broadcast_to(node_embed, (F, N, D))
         node_embed = node_embed + expand_node[None]
         if cfg.embed.use_aatype_embedding:
@@ -125,7 +132,7 @@ class DFoldScoreNetwork(nn.Module):
         init_node_feat = None
         rigid_update = None
         for b in range(ipa_cfg.num_blocks):
-            rigids_embed = rigid_embeder(curr_rigids)
+            rigids_embed = rigid_embeder(curr_rigids, mask=node_mask)
             ipa_block = InvariantPointAttention(ipa_cfg, name=f"ipa_{b}")
             if cfg.remat:
                 # recompute the O(N^2) attention activations on the backward
@@ -140,13 +147,16 @@ class DFoldScoreNetwork(nn.Module):
                     node_embed, edge_embed,
                     Rigid.from_tensor_7(curr_rigids), node_mask,
                 )
-            ipa_out = GlobalStatNorm()(ipa_out)
+            ipa_out = GlobalStatNorm()(ipa_out, mask=node_mask)
             node_feat = jnp.concatenate(
                 [rigids_embed, ipa_out, force_embed, vel_embed, angle_embed],
                 axis=-1,
             )  # [F, N, 5*c_s]
+            # ConvNet masks pad rows between EVERY conv stage (layers.py):
+            # boundary real residues then read zeros whatever pad_to is
             node_feat = conv(
-                node_feat.astype(dtype) if dtype else node_feat
+                node_feat.astype(dtype) if dtype else node_feat,
+                mask=node_mask,
             ).astype(jnp.float32)  # frame-time mixing
 
             rigid_update = BackboneUpdate(name=f"bb_update_{b}")(node_feat)

@@ -72,6 +72,7 @@ def evaluate(
 
     rows = []
     for i, raw in enumerate(windows):
+        raw = dict(raw)  # don't mutate the caller's dict (repeat evals)
         name = raw.pop("name", f"window_{i}")
         raw_j = jax.tree_util.tree_map(jnp.asarray, raw)
         key, sub = jax.random.split(key)

@@ -160,6 +160,7 @@ def rollout(
     min_t: float = 0.01,
     noise_scale: float = 1.0,
     center: bool = True,
+    fast_x0: bool = False,
 ):
     """Autoregressive long-horizon extension (eval_extension, train:931-1000)
     as ONE jitted double-scan: each outer step denoises a fresh window, then
@@ -171,6 +172,20 @@ def rollout(
     never re-derives them either, train:982-996), so for long horizons
     those channels go progressively stale relative to the predicted frames.
 
+    fast_x0=True exploits an exact algebraic property of THIS architecture:
+    the network is an x0-predictor conditioned on the clean reference
+    frames — rigids_t/t enter only the analytic score conversion, never the
+    predicted rigids/atoms — and the sampler's final step takes the model
+    x0 directly. The reverse trajectory therefore cannot influence the
+    returned frames, and ONE forward per frame produces bit-identical
+    rollouts to the full num_t-step sampler (regression-tested:
+    tests/test_sampler.py::test_fast_x0_rollout_identical). Measured on
+    v5e this is NOT faster (262.9 vs 274.9 fps): the in-scan forward is
+    loop-invariant and XLA's code motion already hoists it, so the full
+    sampler executes ~1 real forward per frame anyway (docs/DESIGN.md).
+    The flag is semantic clarity + insurance against non-hoisting
+    compilers, not a measured win.
+
     Returns (atom37_traj [n_steps, N, 37, 3], rigid_traj [n_steps, N, 7]).
     """
     F, N = init_feats["res_mask"].shape
@@ -180,11 +195,20 @@ def rollout(
         key, k_ref, k_rev = jax.random.split(key, 3)
         feats = dict(init_feats)
         feats["rigids_0"] = rigids_0
-        feats["rigids_t"] = diffuser.sample_ref(k_ref, (F, N))
-        out = reverse_sample(
-            k_rev, module, params, diffuser, feats,
-            num_t=num_t, min_t=min_t, noise_scale=noise_scale, center=center,
-        )
+        if fast_x0:
+            # rigids_t only feeds the score conversion; identity is fine
+            feats["rigids_t"] = jnp.broadcast_to(
+                jnp.zeros((7,)).at[0].set(1.0), (F, N, 7)
+            )
+            feats = set_t_feats(diffuser, feats, min_t)
+            out = score_forward(module, params, diffuser, feats)
+        else:
+            feats["rigids_t"] = diffuser.sample_ref(k_ref, (F, N))
+            out = reverse_sample(
+                k_rev, module, params, diffuser, feats,
+                num_t=num_t, min_t=min_t, noise_scale=noise_scale,
+                center=center,
+            )
         pred = out["rigids"]
         next_rigids_0 = jnp.concatenate([pred[1:], pred[-1:]], axis=0)
         return (next_rigids_0, key), (out["atom37"][-1], pred[-1])
@@ -207,17 +231,24 @@ def batched_rollout(
     min_t: float = 0.01,
     noise_scale: float = 1.0,
     center: bool = True,
+    fast_x0: bool = False,
 ):
     """Throughput-oriented rollout: vmap the full autoregressive extension
-    over a leading batch axis (multiple proteins, or multiple stochastic
-    replicas of one protein for ensemble sampling). A serving capability
+    over a leading batch axis of DIFFERENT windows (multiple proteins, or
+    different starting windows of one trajectory). A serving capability
     beyond the reference (its eval_extension is strictly one trajectory per
     Python loop, train:931-1000); on TPU the batched trajectories share one
     XLA computation and the MXU work batches across them.
 
+    NOTE on stochastic replicas: identical windows under different PRNG
+    streams produce IDENTICAL trajectories — the architecture is an
+    x0-predictor whose returned frames do not depend on the noise
+    trajectory (see rollout's fast_x0 note) — so replicate inputs only to
+    vary the conditioning, not the seed.
+
     init_feats_batch: featurized windows stacked on axis 0 ([B, F, N, ...]).
-    Each trajectory consumes an independent PRNG stream. Returns
-    (atom37_traj [B, n_steps, N, 37, 3], rigid_traj [B, n_steps, N, 7]).
+    Returns (atom37_traj [B, n_steps, N, 37, 3],
+    rigid_traj [B, n_steps, N, 7]).
     """
     batch = jax.tree_util.tree_leaves(init_feats_batch)[0].shape[0]
     keys = jax.random.split(key, batch)
@@ -226,7 +257,7 @@ def batched_rollout(
         return rollout(
             k, module, params, diffuser, feats,
             n_steps=n_steps, num_t=num_t, min_t=min_t,
-            noise_scale=noise_scale, center=center,
+            noise_scale=noise_scale, center=center, fast_x0=fast_x0,
         )
 
     return jax.vmap(one)(keys, init_feats_batch)

@@ -87,7 +87,10 @@ class Trainer:
 
     # -- the step -------------------------------------------------------------
     def _window_loss(self, params, key, raw_window):
-        k_diff, k_sc = jax.random.split(key)
+        # three INDEPENDENT streams (a round-3 review found the old
+        # re-split of `key` made k_drop identical to k_sc, perfectly
+        # correlating the CFG drop with the self-conditioning coin flip)
+        k_diff, k_sc, k_drop = jax.random.split(key, 3)
         feats = featurize_window(raw_window)
         feats = diffuse_training_window(
             k_diff, feats, self.diffuser, self.cfg.data.min_t
@@ -95,23 +98,26 @@ class Trainer:
         drop_ref = False
         if self.cfg.model.cfg_drop_rate > 0:
             # per-window conditioning dropout for classifier-free guidance
-            key, k_drop = jax.random.split(key)
             drop_ref = (
                 jax.random.uniform(k_drop) < self.cfg.model.cfg_drop_rate
             ).astype(jnp.float32)
         if self.cfg.model.embed.embed_self_conditioning:
-            # strict behavioral parity with the reference (train:1205-1207):
-            # 50% of steps run an extra no-grad forward whose predicted CA
-            # positions become sc_ca_t. With the DFOLDv2 embedder this
-            # feature is never consumed (SURVEY §4 known defect), so the
-            # flag defaults off; enabling it reproduces the reference's
-            # compute pattern exactly.
+            # behavioral parity with the reference (train:1201-1207): 50%
+            # of steps use an extra no-grad forward's predicted CA
+            # positions as sc_ca_t (passing through drop_ref like the
+            # reference's _self_conditioning). With the DFOLDv2 embedder
+            # this feature is never consumed (SURVEY §4 known defect), so
+            # the flag defaults off. NOTE: under vmap the lax.cond lowers
+            # to a select that COMPUTES both branches every step, so the
+            # enabled-cost is ~2x forward on every window rather than the
+            # reference's 1.5x average — semantics identical, schedule of
+            # compute not.
             feats["sc_ca_t"] = jnp.zeros_like(feats["rigids_0"][..., 4:])
 
             def with_sc(f):
                 sc = score_forward(
                     self.model, jax.lax.stop_gradient(params),
-                    self.diffuser, f,
+                    self.diffuser, f, drop_ref=drop_ref,
                 )
                 return dict(f, sc_ca_t=jax.lax.stop_gradient(sc["rigids"][..., 4:]))
 
@@ -299,9 +305,13 @@ class Experiment:
                         rolling = []
                         t_log = time.time()
                     if max_steps is not None and self.step >= max_steps:
+                        # partial epoch: resume restarts it (window draws
+                        # are random per step, so no data is skipped)
                         self.epoch = epoch
                         return history
-            self.epoch = epoch
+            # epoch COMPLETED: resume must start at the next one (storing
+            # `epoch` itself made every warm start re-run its last epoch)
+            self.epoch = epoch + 1
             if (
                 self.eval_fn is not None and self.eval_every
                 and epoch % self.eval_every == 0

@@ -7,9 +7,11 @@ with the release hyperparameters from run_train.sh:18-22):
          + trans x0 MSE                   (weight 100, last frame only)
          + torsion angle loss             (weight 1,  last frame only)
 
-with the reference's guards: rot loss gated by t > rot_loss_t_threshold and
-all three terms zeroed when the (unweighted-mean) trans loss >= 100
-(outlier protection, train:1338-1340). bb-atom and distance-matrix losses are
+with the reference's guards: rot loss gated by t > rot_loss_t_threshold, and
+rot+trans zeroed when the WEIGHTED trans loss >= 100 — i.e. unweighted
+trans MSE >= 100/trans_loss_weight (= 1 A^2 at the release weight 100; the
+threshold moves with the weight). Torsion survives outlier batches (the
+reference's guards are sequential, see below). bb-atom and distance-matrix losses are
 computed-but-excluded in the reference final sum (train:1367-1373); we expose
 them as aux metrics behind flags for the same reason.
 

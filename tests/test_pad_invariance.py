@@ -97,3 +97,48 @@ def test_eval_metrics_invariant_to_padding():
         np.testing.assert_allclose(
             results[N][k], results[2 * N][k], rtol=2e-4, err_msg=k
         )
+
+
+def test_model_forward_pad_invariant():
+    """The MODEL FORWARD itself must be pad-invariant at real residues
+    (round-3 review: GlobalStatNorm previously normalized over pad rows and
+    the 5x5 conv read pad-row embedder biases, so predictions silently
+    depended on pad_to / length-bucket size — unlike the reference, which
+    never pads)."""
+    from dynamicpdb_tpu.diffusion.se3_diffuser import SE3Diffuser
+    from dynamicpdb_tpu.models.score_network import (
+        DFoldScoreNetwork, score_forward,
+    )
+    from tests.test_model import TINY_MODEL, TINY_SE3
+
+    n = 10
+    raw = make_window(n_res=n, frame_time=2, seed=5)
+    diffuser = SE3Diffuser(TINY_SE3)
+    model = DFoldScoreNetwork(TINY_MODEL)
+
+    outs = {}
+    params = None
+    for pad_to in (n, 16, 24):
+        feats = featurize_window(
+            jax.tree_util.tree_map(jnp.asarray, pad_window(dict(raw), pad_to))
+        )
+        key = jax.random.PRNGKey(0)
+        # deterministic t/rigids_t so only pad_to varies: real rows carry
+        # identical values at every pad size
+        feats["t"] = jnp.full((2,), 0.41)
+        feats["rigids_t"] = feats["rigids_0"]
+        feats["sc_ca_t"] = jnp.zeros_like(feats["rigids_0"][..., 4:])
+        if params is None:
+            params = model.init(key, feats)
+        outs[pad_to] = jax.jit(
+            lambda p, f: score_forward(model, p, diffuser, f)
+        )(params, feats)
+
+    base = outs[n]
+    for pad_to in (16, 24):
+        o = outs[pad_to]
+        for k, tol in (("rigids", 2e-4), ("atom37", 1e-3), ("angles", 2e-4)):
+            np.testing.assert_allclose(
+                np.asarray(o[k])[:, :n], np.asarray(base[k])[:, :n],
+                atol=tol, err_msg=f"pad_to={pad_to} key={k}",
+            )

@@ -153,3 +153,23 @@ def test_batched_rollout_matches_per_trajectory(setup):
     # trajectory (rigids_t enters only the score conversion; the last
     # reverse step takes the model x0 directly), so stochastic replicas of
     # a deterministic model legitimately coincide (see COVERAGE.md).
+
+
+def test_fast_x0_rollout_identical(setup):
+    """fast_x0=True (one forward per frame) must produce bit-close
+    trajectories to the full num_t-step sampler: the x0-predictor's
+    returned frames do not depend on the reverse trajectory."""
+    _, diffuser, model, feats, params = setup
+    full = jax.jit(lambda k, p, f: rollout(
+        k, model, p, diffuser, f, n_steps=3, num_t=5, noise_scale=0.3,
+    ))(jax.random.PRNGKey(11), params, feats)
+    fast = jax.jit(lambda k, p, f: rollout(
+        k, model, p, diffuser, f, n_steps=3, num_t=5, noise_scale=0.3,
+        fast_x0=True,
+    ))(jax.random.PRNGKey(22), params, feats)  # different key: must not matter
+    np.testing.assert_allclose(
+        np.asarray(fast[0]), np.asarray(full[0]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast[1]), np.asarray(full[1]), atol=1e-4
+    )
