@@ -27,7 +27,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from dynamicpdb_tpu.analysis.metrics import (
-    masked_atom_error, superimposed_rmsd,
+    masked_atom_error, superimposed_rmsd_atom37,
 )
 from dynamicpdb_tpu.ops import frames as frame_ops
 from dynamicpdb_tpu.ops.rigid import Rigid
@@ -43,13 +43,7 @@ def _decode_atom37(rigids7, angles, aatype):
 
 def _errors(pred37, gt37, mask37):
     mae, mse = masked_atom_error(pred37, gt37, mask37)
-    sup = superimposed_rmsd(
-        pred37.reshape(pred37.shape[:-3] + (-1, 3)),
-        gt37.reshape(gt37.shape[:-3] + (-1, 3)),
-        jnp.broadcast_to(
-            mask37[..., None], mask37.shape + (1,)
-        ).reshape(mask37.shape[:-2] + (-1,)),
-    )
+    sup = superimposed_rmsd_atom37(pred37, gt37, mask37)
     return {"mae": mae[-1], "rmsd": sup[-1]}  # jnp scalars (jit-safe)
 
 

@@ -80,6 +80,18 @@ def superimposed_rmsd(pred, gt, mask=None):
     return jnp.sqrt(jnp.mean(d2, axis=-1))
 
 
+def superimposed_rmsd_atom37(pred_atom37, gt_atom37, atom37_mask):
+    """Superimposed RMSD treating the atom37 cloud as one point set
+    ([..., N, 37, 3] + [..., N, 37] mask -> [...])."""
+    return superimposed_rmsd(
+        pred_atom37.reshape(pred_atom37.shape[:-3] + (-1, 3)),
+        gt_atom37.reshape(gt_atom37.shape[:-3] + (-1, 3)),
+        jnp.broadcast_to(
+            atom37_mask[..., None], atom37_mask.shape + (1,)
+        ).reshape(atom37_mask.shape[:-2] + (-1,)),
+    )
+
+
 def rmsd(pred, gt, mask=None):
     d2 = jnp.sum((pred - gt) ** 2, axis=-1)
     if mask is not None:
@@ -122,22 +134,22 @@ def eval_window_metrics(pred_rigids, pred_atom37, gt_rigids, gt_atom37,
     ave_trans = average_translation_distances(
         gt_rigids[..., 4:], pred_rigids[..., 4:], "MAE", mask=res_mask
     )
-    ref = jnp.broadcast_to(gt_rigids[-2][None], gt_rigids.shape)
-    ref_rot = average_quaternion_distances(
-        gt_rigids[..., :4], ref[..., :4], mask=res_mask
-    )
-    ref_trans = average_translation_distances(
-        gt_rigids[..., 4:], ref[..., 4:], "MAE", mask=res_mask
-    )
+    if gt_rigids.shape[0] >= 2:
+        ref = jnp.broadcast_to(gt_rigids[-2][None], gt_rigids.shape)
+        ref_rot = average_quaternion_distances(
+            gt_rigids[..., :4], ref[..., :4], mask=res_mask
+        )
+        ref_trans = average_translation_distances(
+            gt_rigids[..., 4:], ref[..., 4:], "MAE", mask=res_mask
+        )
+    else:
+        # F=1: there is no previous frame — jnp would CLAMP index -2 to 0
+        # and report a deceptive exact-0 baseline; report NaN instead
+        ref_rot = jnp.full(gt_rigids.shape[:1], jnp.nan)
+        ref_trans = jnp.full(gt_rigids.shape[:1], jnp.nan)
     mae, mse = masked_atom_error(pred_atom37, gt_atom37, atom37_mask)
     ca_mask = atom37_mask[..., 1]
-    rmsd_sup = superimposed_rmsd(
-        pred_atom37.reshape(pred_atom37.shape[:-3] + (-1, 3)),
-        gt_atom37.reshape(gt_atom37.shape[:-3] + (-1, 3)),
-        jnp.broadcast_to(
-            atom37_mask[..., None], atom37_mask.shape + (1,)
-        ).reshape(atom37_mask.shape[:-2] + (-1,)),
-    )
+    rmsd_sup = superimposed_rmsd_atom37(pred_atom37, gt_atom37, atom37_mask)
     return {
         "ave_rot": ave_rot[-1],
         "ave_trans": ave_trans[-1],

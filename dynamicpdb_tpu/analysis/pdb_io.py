@@ -68,19 +68,34 @@ def read_pdb(path: str):
         for line in f:
             if line.startswith("ENDMDL"):
                 break
-            if not line.startswith("ATOM"):
+            is_atom = line.startswith("ATOM")
+            # selenomethionine is deposited as HETATM MSE but is a standard
+            # chain residue; treat as MET (same policy as mmcif.py)
+            is_mse = line.startswith("HETATM") and line[17:20] == "MSE"
+            if not (is_atom or is_mse):
                 continue
             name = line[12:16].strip()
-            res3 = line[17:20].strip()
+            altloc = line[16]
+            res3 = "MET" if is_mse else line[17:20].strip()
+            if is_mse and name == "SE":
+                name = "SD"
             chain = line[21]
             resseq = int(line[22:26])
-            key = (chain, resseq)
+            icode = line[26] if len(line) > 26 else " "
+            # key on (chain, resseq, insertion code): 100/100A/100B are
+            # distinct residues (same hazard mmcif.py:216 documents)
+            key = (chain, resseq, icode)
             if key not in restypes:
                 restypes[key] = chem.RESTYPE_ORDER.get(
                     chem.RESTYPE_3TO1.get(res3, "X"), chem.UNK_RESTYPE
                 )
                 order.append(key)
-            if name in chem.ATOM_ORDER:
+            if name in chem.ATOM_ORDER and (key, name) not in coords:
+                # first altLoc wins (altLoc column 17; conformer 'A'/' '
+                # comes first in deposited files) — later conformers must
+                # not overwrite, or a residue mixes conformers
+                if altloc not in (" ", "A", "1"):
+                    continue
                 xyz = np.array(
                     [float(line[30:38]), float(line[38:46]), float(line[46:54])]
                 )
@@ -93,7 +108,7 @@ def read_pdb(path: str):
     residue_index = np.zeros(n, np.int32)
     for i, key in enumerate(order):
         aatype[i] = restypes[key]
-        residue_index[i] = key[1]
+        residue_index[i] = key[1]  # insertion-coded residues share resseq
         for a, name in enumerate(chem.ATOM37_NAMES):
             if (key, name) in coords:
                 atom37[i, a] = coords[(key, name)]

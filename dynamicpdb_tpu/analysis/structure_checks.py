@@ -120,10 +120,17 @@ def tm_score(pred_ca: np.ndarray, gt_ca: np.ndarray, n_iter: int = 20):
 
     if L == 0:
         return 0.0
-    if L < 3:
-        # 1-2 points are always exactly superposable (Kabsch needs >= 3);
-        # TM of a perfect superposition is 1
-        return 1.0
+    if L == 1:
+        return 1.0  # a single point is always exactly superposable
+    if L == 2:
+        # two points are NOT always superposable: the best rigid motion
+        # aligns midpoints and directions, leaving |d_pred - d_gt| / 2
+        # residual on each point
+        r = abs(
+            float(np.linalg.norm(pred_ca[1] - pred_ca[0]))
+            - float(np.linalg.norm(gt_ca[1] - gt_ca[0]))
+        ) / 2.0
+        return 1.0 / (1.0 + (r / d0) ** 2)
     # always seed from the full chain (the fragment loop below skips it for
     # L < 4, which used to return a spurious 0.0 on tiny/heavily-masked
     # chains even for identical structures)
@@ -273,15 +280,37 @@ def protein_metrics(atom37: np.ndarray, mask37: np.ndarray,
     reference) are included under their reference keys."""
     bb_ok = mask37[:, 1].astype(bool)
     ca = atom37[bb_ok, 1]
-    dev, valid = ca_ca_distance(ca)
+    # CA-CA bonds only between residues adjacent in the FULL chain (both
+    # CAs present, and consecutive residue_index when given) — compressing
+    # to bb_ok first would make gap-separated residues look bonded and
+    # count the ~7-8 A gap-spanning pair as a broken bond
+    ca_all = atom37[:, 1]
+    pair_ok = bb_ok[1:] & bb_ok[:-1]
+    if residue_index is not None:
+        ridx = np.asarray(residue_index)
+        pair_ok = pair_ok & ((ridx[1:] - ridx[:-1]) == 1)
+    d = np.linalg.norm(ca_all[1:] - ca_all[:-1], axis=-1)[pair_ok]
+    if len(d):
+        dev = float(np.mean(np.abs(d - CA_CA_IDEAL)))
+        valid = float(np.mean(d < CA_CA_IDEAL + 0.1))
+    else:
+        dev, valid = 0.0, 1.0
     n_clash, clash_pct = ca_ca_clashes(ca)
+    # secondary structure on the FULL arrays (mask-aware): sequence
+    # adjacency in the turn/bridge logic must follow chain position, not
+    # the compressed present-residue index; fractions are reported over
+    # residues with backbone present (mdtraj marks incomplete residues NA)
+    ss = assign_secondary_structure(atom37, mask37)
+    ss_obs = ss[bb_ok] if bb_ok.any() else ss
     out = {
         "ca_ca_bond_dev": dev,
         "ca_ca_valid_percent": valid,
         "num_ca_steric_clashes": n_clash,
         "ca_steric_clash_percent": clash_pct,
         "radius_of_gyration": radius_of_gyration(atom37, mask37),
-        **secondary_structure_fractions(atom37[bb_ok], mask37[bb_ok]),
+        "helix_percent": float(np.mean(ss_obs == "H")),
+        "strand_percent": float(np.mean(ss_obs == "E")),
+        "coil_percent": float(np.mean(ss_obs == "C")),
     }
     if aatype is not None:
         from dynamicpdb_tpu.analysis.violations import (

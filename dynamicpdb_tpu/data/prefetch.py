@@ -57,10 +57,17 @@ class DevicePrefetcher:
             except BaseException as e:  # propagate into the consumer
                 self._err = e
             finally:
-                try:
-                    self._q.put_nowait(_SENTINEL)
-                except queue.Full:
-                    pass  # consumer is gone; close() drains anyway
+                # The sentinel MUST be delivered (or close() observed): a
+                # fast producer can fill the buffer and finish before the
+                # consumer takes its first batch, and a dropped sentinel
+                # (put_nowait + swallowed queue.Full) leaves the consumer
+                # blocked in q.get() forever once it drains the buffer.
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(_SENTINEL, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()

@@ -289,6 +289,13 @@ def _jitted_scan_embed(cfg: OmegaFoldConfig, flash: bool, pad_safe: bool,
                 params, cfg, pm, pk, prev_node, prev_edge, prev_x,
                 flash=flash, pad_safe=pad_safe,
             )
+            # the cycle promotes activations to f32 (norm stats and
+            # _finetuning_scale are f32 even under bf16 params); cast back
+            # so the scan carry keeps its declared dtype — without this the
+            # dtype=bfloat16 path is a lax.scan carry-type error at trace
+            # time (bf16 init vs f32 output)
+            node_out, edge = node_out.astype(act), edge.astype(act)
+            pn, pe, px = pn.astype(act), pe.astype(act), px.astype(act)
             if predict_with_confidence:
                 # loop semantics exactly (`conf > max_conf or final is
                 # None`): strictly greater, first cycle always populates —

@@ -22,24 +22,34 @@ MASK_TOKEN = 21
 
 
 def parse_fasta(fasta_lines) -> list[tuple[str, str]]:
-    """[(chain_id, sequence)] sorted by sequence length (pipeline.py:116-132)."""
-    chain_ids: list[str] = []
-    aastr: list[str] = []
-    expecting_seq = False
+    """[(chain_id, sequence)] sorted by sequence length (pipeline.py:116-132).
+
+    Sequence lines attach to the most recent header, so a header with no
+    sequence cannot silently shift every later record onto the wrong chain
+    id (embeddings are written to ``{chain_id}.npz`` downstream — a mispair
+    corrupts the artifact mapping). Headerless leading sequence lines and
+    empty records raise instead of mis-parsing.
+    """
+    records: list[tuple[str, list[str]]] = []
     for line in fasta_lines:
         line = line.rstrip("\n")
         if len(line) == 0:
             continue
         if line.startswith(">") or line.startswith(":"):
-            expecting_seq = True
-            chain_ids.append(line[1:])
+            records.append((line[1:], []))
         else:
-            if expecting_seq:
-                aastr.append(line.upper())
-                expecting_seq = False
-            else:
-                aastr[-1] = aastr[-1] + line.upper()
-    return sorted(zip(chain_ids, aastr), key=lambda x: len(x[1]))
+            if not records:
+                raise ValueError(
+                    "FASTA sequence line before any '>' header"
+                )
+            records[-1][1].append(line.upper())
+    empty = [cid for cid, parts in records if not parts]
+    if empty:
+        raise ValueError(f"FASTA records with no sequence: {empty}")
+    return sorted(
+        ((cid, "".join(parts)) for cid, parts in records),
+        key=lambda x: len(x[1]),
+    )
 
 
 def tokenize(seq: str) -> np.ndarray:

@@ -58,8 +58,13 @@ def box_from_state_xml(xml_path: str) -> np.ndarray:
 
     with open(xml_path) as f:
         text = f.read()
+    # OpenMM's XmlSerializer writes the box as capital <A .../><B .../><C .../>
+    # children of <PeriodicBoxVectors>; accept either case and any attribute
+    # spacing
     vecs = re.findall(
-        r'<[abc] x="([\d.eE+-]+)" y="([\d.eE+-]+)" z="([\d.eE+-]+)"', text
+        r'<[ABC]\s+x="([^"]+)"\s+y="([^"]+)"\s+z="([^"]+)"',
+        text,
+        flags=re.IGNORECASE,
     )
     if len(vecs) != 3:
         raise ValueError(f"no periodic box vectors found in {xml_path}")

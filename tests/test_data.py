@@ -255,3 +255,26 @@ def test_device_prefetcher_close_unblocks_worker():
     while pf2._thread.is_alive() and _time.time() < deadline:
         _time.sleep(0.05)
     assert not pf2._thread.is_alive()
+
+
+def test_device_prefetcher_sentinel_survives_full_buffer():
+    """A producer that fills the buffer and finishes BEFORE the consumer
+    takes its first batch must still deliver the end-of-iteration sentinel.
+    The old put_nowait dropped it on queue.Full, deadlocking the consumer
+    in q.get() (hit deterministically once the train step came out of the
+    persistent compile cache faster than the producer)."""
+    import threading
+    import time
+
+    from dynamicpdb_tpu.data.prefetch import prefetch_to_device
+
+    src = iter([np.zeros(3), np.ones(3)])
+    pf = prefetch_to_device(src, buffer_size=1, place=lambda x: x)
+    time.sleep(0.5)  # producer fills the 1-slot buffer and ends
+    out = []
+    t = threading.Thread(target=lambda: out.extend(list(pf)), daemon=True)
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive(), "consumer deadlocked waiting for the sentinel"
+    assert len(out) == 2
+    pf.close()

@@ -67,3 +67,21 @@ def test_eval_window_metrics_refaspred_identity():
     np.testing.assert_allclose(
         float(m["ave_trans"]), float(m["ref_ave_trans"]), rtol=1e-5
     )
+
+
+def test_eval_window_metrics_single_frame_ref_is_nan():
+    """F=1 windows have no previous frame: RefAsPred must be NaN, not the
+    deceptive exact-0 that jnp's clamped -2 index used to produce."""
+    N = 6
+    q = RNG.normal(size=(1, N, 4))
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    rigids = np.concatenate([q, RNG.normal(size=(1, N, 3))], -1).astype(np.float32)
+    atom37 = RNG.normal(size=(1, N, 37, 3)).astype(np.float32)
+    mask = np.ones((1, N, 37), np.float32)
+    m = M.eval_window_metrics(
+        jnp.asarray(rigids), jnp.asarray(atom37),
+        jnp.asarray(rigids), jnp.asarray(atom37), jnp.asarray(mask),
+    )
+    assert np.isnan(float(m["ref_ave_rot"]))
+    assert np.isnan(float(m["ref_ave_trans"]))
+    assert float(m["ave_rot"]) < 1e-4  # real metrics still computed

@@ -327,3 +327,22 @@ def test_infer_config_from_state_dict():
     for a, b in zip(jax.tree_util.tree_leaves(params_a),
                     jax.tree_util.tree_leaves(params_b)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_scan_embed_bf16_traces_and_runs():
+    """dtype=bfloat16 + scan (the extract_embeddings default path): the
+    cycle promotes activations to f32, so the scan body must cast back to
+    keep the carry dtype — this used to be a lax.scan carry-type error at
+    trace time. Outputs must stay close to the f32 scan."""
+    ref = _build_ref()
+    params, cfg = M.params_from_torch(ref)
+    _, cycles = next(P.fasta2inputs(FASTA, num_pseudo_msa=2, num_cycle=3))
+    e32, n32, _ = M.omegafold_embed_scan(params, cfg, cycles)
+    ebf, nbf, _ = M.omegafold_embed_scan(params, cfg, cycles,
+                                         dtype=jnp.bfloat16)
+    assert ebf.dtype == jnp.float32 and nbf.dtype == jnp.float32
+    scale = float(np.abs(np.asarray(n32)).mean()) + 1e-6
+    assert float(np.abs(np.asarray(nbf) - np.asarray(n32)).mean()) < 0.1 * scale
+    escale = float(np.abs(np.asarray(e32)).mean()) + 1e-6
+    assert float(np.abs(np.asarray(ebf) - np.asarray(e32)).mean()) < 0.1 * escale

@@ -68,3 +68,17 @@ def test_bit_parity_vs_reference_fasta2inputs():
             np.testing.assert_array_equal(
                 d["p_msa_mask"], rd["p_msa_mask"].numpy().astype(np.float32)
             )
+
+
+def test_parse_fasta_rejects_malformed():
+    """A header with no sequence must raise, not silently shift every later
+    sequence onto the wrong chain id; a leading bare sequence line raises."""
+    import pytest
+
+    with pytest.raises(ValueError, match="no sequence"):
+        P.parse_fasta([">A\n", ">B\n", "MKTA\n"])
+    with pytest.raises(ValueError, match="before any"):
+        P.parse_fasta(["MKTA\n", ">A\n", "GSHM\n"])
+    # multi-line sequences still concatenate onto the right record
+    parsed = P.parse_fasta([">x\n", "MK\n", "TA\n", ">y\n", "G\n"])
+    assert dict(parsed) == {"x": "MKTA", "y": "G"}

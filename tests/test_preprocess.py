@@ -113,3 +113,62 @@ def test_pack_from_dynamicpdb_release_layout(tmp_path):
     with np.load(out) as z:
         assert z["all_atom_positions"].shape == (3, 5, 37, 3)
         assert z["force"].shape == (3, 5, 3)
+
+
+def test_box_from_state_xml_openmm_capital_vectors(tmp_path):
+    """OpenMM saveState writes capital <A/><B/><C/> box vectors; the parser
+    must read them (a lowercase-only regex used to raise on every real
+    State XML)."""
+    xml = tmp_path / "state.xml"
+    xml.write_text(
+        '<?xml version="1.0" ?>\n'
+        '<State openmmVersion="8.0" time="1.0">\n'
+        "  <PeriodicBoxVectors>\n"
+        '    <A x="2.6" y="0" z="0"/>\n'
+        '    <B x="0" y="2.6" z="0"/>\n'
+        '    <C x="0" y="0" z="2.6"/>\n'
+        "  </PeriodicBoxVectors>\n"
+        "</State>\n"
+    )
+    box = pbc.box_from_state_xml(str(xml))
+    np.testing.assert_allclose(box, [26.0, 26.0, 26.0])  # nm -> Angstrom
+
+
+def test_read_pdb_insertion_codes_altloc_mse(tmp_path):
+    """100/100A are distinct residues; only the first altLoc conformer is
+    kept; HETATM MSE parses as MET with SE->SD."""
+
+    def rec(kind, serial, name, altloc, res3, resseq, icode, x, y, z):
+        pad_name = f" {name:<3s}" if len(name) < 4 else name
+        return (
+            f"{kind:<6s}{serial:5d} {pad_name}{altloc}{res3:>3s} A"
+            f"{resseq:4d}{icode}   {x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00"
+            f"          {name[0]:>2s}"
+        )
+
+    lines = [
+        # residue (A, 100, ' ') = GLY
+        rec("ATOM", 1, "N", " ", "GLY", 100, " ", 1.0, 0.0, 0.0),
+        rec("ATOM", 2, "CA", " ", "GLY", 100, " ", 2.0, 0.0, 0.0),
+        # residue (A, 100, 'A') = ALA with two CA conformers (A then B)
+        rec("ATOM", 3, "N", " ", "ALA", 100, "A", 5.0, 0.0, 0.0),
+        rec("ATOM", 4, "CA", "A", "ALA", 100, "A", 6.0, 0.0, 0.0),
+        rec("ATOM", 5, "CA", "B", "ALA", 100, "A", 9.0, 9.0, 9.0),
+        # selenomethionine as HETATM
+        rec("HETATM", 6, "N", " ", "MSE", 101, " ", 10.0, 0.0, 0.0),
+        rec("HETATM", 7, "CA", " ", "MSE", 101, " ", 11.0, 0.0, 0.0),
+        rec("HETATM", 8, "SE", " ", "MSE", 101, " ", 12.0, 0.0, 0.0),
+        "END",
+    ]
+    pdb = tmp_path / "icode.pdb"
+    pdb.write_text("\n".join(lines) + "\n")
+    atom37, mask, aatype, residx = read_pdb(str(pdb))
+    assert len(aatype) == 3  # GLY, ALA(100A), MSE->MET — not merged
+    assert aatype[0] == chem.RESTYPE_ORDER["G"]
+    assert aatype[1] == chem.RESTYPE_ORDER["A"]
+    assert aatype[2] == chem.RESTYPE_ORDER["M"]
+    np.testing.assert_allclose(atom37[1, 1], [6.0, 0.0, 0.0])  # altLoc A wins
+    sd_idx = chem.ATOM_ORDER["SD"]
+    assert mask[2, sd_idx] == 1.0
+    np.testing.assert_allclose(atom37[2, sd_idx], [12.0, 0.0, 0.0])
+    assert residx.tolist() == [100, 100, 101]

@@ -116,3 +116,42 @@ def test_tm_score_tiny_chains():
     assert sc.tm_score(ca, ca) > 0.9
     assert sc.tm_score(ca[:2], ca[:2]) == 1.0
     assert sc.tm_score(ca[:0], ca[:0]) == 0.0
+
+
+def test_tm_score_two_points_not_always_perfect():
+    """L=2 chains with different inter-point distances are NOT exactly
+    superposable — the score must reflect the |d1-d2|/2 residual."""
+    pred = np.array([[0.0, 0, 0], [100.0, 0, 0]])
+    gt = np.array([[0.0, 0, 0], [1.0, 0, 0]])
+    s = sc.tm_score(pred, gt)
+    # residual 49.5 A per point, d0=0.5 -> score ~ 1e-4
+    assert s < 0.01
+    assert sc.tm_score(gt, gt) == 1.0
+
+
+def test_protein_metrics_interior_gap_not_bonded():
+    """A missing interior residue must not make its neighbors count as a
+    CA-CA bond (the ~7.6 A gap pair used to inflate ca_ca_bond_dev), and
+    secondary structure must keep chain positions (no compression)."""
+    L = 9
+    atom37 = np.zeros((L, 37, 3))
+    mask = np.zeros((L, 37))
+    for i in range(L):
+        atom37[i, 1] = [i * sc.CA_CA_IDEAL, 0.0, 0.0]  # CA
+        atom37[i, 0] = atom37[i, 1] + [-0.5, 1.0, 0.0]  # N
+        atom37[i, 2] = atom37[i, 1] + [0.5, 1.0, 0.0]  # C
+        atom37[i, 4] = atom37[i, 1] + [0.5, 2.0, 0.0]  # O
+        mask[i, [0, 1, 2, 4]] = 1.0
+    gapped_mask = mask.copy()
+    gapped_mask[4] = 0.0  # residue 4 unobserved
+    gapped_atoms = atom37.copy()
+    gapped_atoms[4] = 0.0
+    m = sc.protein_metrics(gapped_atoms, gapped_mask)
+    assert m["ca_ca_bond_dev"] < 1e-6  # gap pair (3,5) not counted
+    assert m["ca_ca_valid_percent"] == 1.0
+    # explicit numbering gap with all residues observed: same exclusion
+    ridx = np.array([0, 1, 2, 3, 4, 10, 11, 12, 13])
+    atoms2 = atom37.copy()
+    atoms2[5:, :, 0] += 50.0  # chain break: second segment far away
+    m2 = sc.protein_metrics(atoms2, mask, residue_index=ridx)
+    assert m2["ca_ca_bond_dev"] < 1e-6
