@@ -38,13 +38,21 @@ def dense_ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
     (the torch reference materializes [F, N, N, H, Pq, 3] in HBM; the cross
     term here is one [N, N] matmul per (f, h)).
 
+    Mixed precision: q/k/v/bias/pair_z may arrive bfloat16 (the production
+    compute_dtype path); every einsum accumulates in float32
+    (preferred_element_type), so the logits, softmax, and all outputs are
+    float32 regardless — only the projection ACTIVATION traffic narrows.
+    The point tensors are always float32 (geometry). With f32 inputs this
+    is bit-identical to the pre-mixed-precision version.
+
     The ONE dense implementation: the model's non-Pallas branch AND the
     Pallas kernel's dense-recompute VJP/verification path both call this,
     so a masking/scaling change cannot silently diverge between them.
     Returns (o [F,N,H,C], o_pt_global [F,N,H,P,3], o_pair [F,N,H,Dz]).
     """
-    a = jnp.einsum("fihc,fjhc->fhij", q, k) * c_qk
-    a = a + c_b * jnp.transpose(bias, (2, 0, 1))[None]
+    f32 = jnp.float32
+    a = jnp.einsum("fihc,fjhc->fhij", q, k, preferred_element_type=f32) * c_qk
+    a = a + c_b * jnp.transpose(bias.astype(f32), (2, 0, 1))[None]
     qp_sq = jnp.sum(q_pts**2, axis=(-1, -2))  # [F, N, H]
     kp_sq = jnp.sum(k_pts**2, axis=(-1, -2))  # [F, N, H]
     cross = jnp.einsum("fihpx,fjhpx->fhij", q_pts, k_pts)
@@ -55,43 +63,61 @@ def dense_ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
     )  # [F, H, N, N]
     a = a + (-0.5) * head_weights[None, :, None, None] * pt_att
     a = a + inf * (mask[:, :, None] * mask[:, None, :] - 1.0)[:, None]
-    a = nn.softmax(a, axis=-1)  # [F, H, N, N]
+    a = nn.softmax(a, axis=-1)  # [F, H, N, N] float32
     return (
-        jnp.einsum("fhij,fjhc->fihc", a, v),
-        jnp.einsum("fhij,fjhpx->fihpx", a, v_pts),
-        jnp.einsum("fhij,ijd->fihd", a, pair_z),
+        jnp.einsum("fhij,fjhc->fihc", a, v, preferred_element_type=f32),
+        jnp.einsum("fhij,fjhpx->fihpx", a, v_pts, preferred_element_type=f32),
+        jnp.einsum("fhij,ijd->fihd", a, pair_z, preferred_element_type=f32),
     )
 
 
 class InvariantPointAttention(nn.Module):
+    """``dtype`` (None => float32 everywhere) is the compute dtype for the
+    six linear projections — the production bfloat16 path. Params stay
+    float32, and so do the attention logits, softmax, point geometry
+    (frame lift/invert, distances, norms) and every einsum accumulator
+    (see dense_ipa_attention): bf16 narrows only the projection activation
+    traffic, which the headroom microbench identified as the block's cost
+    (tools/bench_mxu_headroom.py — the attention core itself is 0.16 ms of
+    the 0.95 ms f32 block forward at B=8)."""
+
     cfg: IPAConfig
     inf: float = 1e5
     eps: float = 1e-8
+    dtype: object = None
 
     @nn.compact
     def __call__(self, s, z, r: Rigid, mask):
         c = self.cfg
         F, N, _ = s.shape
         H, C, Pq, Pv = c.no_heads, c.c_hidden, c.no_qk_points, c.no_v_points
+        dt = self.dtype
+        sd = s.astype(dt) if dt is not None else s
 
         # scalar qkv ------------------------------------------------------
-        q = Linear(H * C, "torch", name="linear_q")(s).reshape(F, N, H, C)
-        kv = Linear(2 * H * C, "torch", name="linear_kv")(s).reshape(F, N, H, 2 * C)
+        q = Linear(H * C, "torch", dtype=dt, name="linear_q")(sd)
+        q = q.reshape(F, N, H, C)
+        kv = Linear(2 * H * C, "torch", dtype=dt, name="linear_kv")(sd)
+        kv = kv.reshape(F, N, H, 2 * C)
         k, v = jnp.split(kv, 2, axis=-1)
 
-        # point qkv (in local frames, lifted to global) --------------------
-        q_pts = Linear(H * Pq * 3, "torch", name="linear_q_points")(s)
-        q_pts = q_pts.reshape(F, N, H * Pq, 3)
+        # point qkv (in local frames, lifted to global); the frame lift is
+        # geometry -> always float32
+        q_pts = Linear(H * Pq * 3, "torch", dtype=dt, name="linear_q_points")(sd)
+        q_pts = q_pts.astype(jnp.float32).reshape(F, N, H * Pq, 3)
         q_pts = r[..., None].apply(q_pts).reshape(F, N, H, Pq, 3)
 
-        kv_pts = Linear(H * (Pq + Pv) * 3, "torch", name="linear_kv_points")(s)
-        kv_pts = kv_pts.reshape(F, N, H * (Pq + Pv), 3)
+        kv_pts = Linear(
+            H * (Pq + Pv) * 3, "torch", dtype=dt, name="linear_kv_points"
+        )(sd)
+        kv_pts = kv_pts.astype(jnp.float32).reshape(F, N, H * (Pq + Pv), 3)
         kv_pts = r[..., None].apply(kv_pts).reshape(F, N, H, Pq + Pv, 3)
         k_pts, v_pts = kv_pts[..., :Pq, :], kv_pts[..., Pq:, :]
 
         # pair projections (frame-shared) ----------------------------------
-        b = Linear(H, "torch", name="linear_b")(z)  # [N, N, H]
-        pair_z = Linear(c.c_z // 4, "torch", name="down_z")(z)  # [N, N, cz/4]
+        zd = z.astype(dt) if dt is not None else z
+        b = Linear(H, "torch", dtype=dt, name="linear_b")(zd)  # [N, N, H]
+        pair_z = Linear(c.c_z // 4, "torch", dtype=dt, name="down_z")(zd)
         head_weights = nn.softplus(
             self.param(
                 "head_weights",
@@ -125,8 +151,13 @@ class InvariantPointAttention(nn.Module):
         if use_pallas:
             from dynamicpdb_tpu.ops.pallas.ipa_attention import ipa_attention
 
+            # the Pallas kernel is written for f32 operands; the dense path
+            # below handles bf16 natively (f32 accumulators)
             o, o_pt_global, o_pair = ipa_attention(
-                q, k, v, q_pts, k_pts, v_pts, b, pair_z, mask, head_weights,
+                q.astype(jnp.float32), k.astype(jnp.float32),
+                v.astype(jnp.float32), q_pts, k_pts, v_pts,
+                b.astype(jnp.float32), pair_z.astype(jnp.float32),
+                mask, head_weights,
                 c_qk, math.sqrt(1.0 / 3), self.inf, 64, 128,
                 c.pallas_interpret,
             )
@@ -161,4 +192,9 @@ class InvariantPointAttention(nn.Module):
             ],
             axis=-1,
         )
-        return Linear(c.c_s, "final", name="linear_out")(o_feats)
+        # the out-projection may compute in bf16 (its 3072-wide input is the
+        # block's largest activation); the block's OUTPUT stays float32 so
+        # downstream semantics (GlobalStatNorm, BackboneUpdate geometry) are
+        # dtype-independent
+        out = Linear(c.c_s, "final", dtype=dt, name="linear_out")(o_feats)
+        return out.astype(jnp.float32)

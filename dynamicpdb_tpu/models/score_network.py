@@ -133,7 +133,11 @@ class DFoldScoreNetwork(nn.Module):
         rigid_update = None
         for b in range(ipa_cfg.num_blocks):
             rigids_embed = rigid_embeder(curr_rigids, mask=node_mask)
-            ipa_block = InvariantPointAttention(ipa_cfg, name=f"ipa_{b}")
+            # dtype: bf16 projections, f32 logits/softmax/geometry/output
+            # (see InvariantPointAttention docstring)
+            ipa_block = InvariantPointAttention(
+                ipa_cfg, dtype=dtype, name=f"ipa_{b}"
+            )
             if cfg.remat:
                 # recompute the O(N^2) attention activations on the backward
                 # pass: memory O(1) in num_blocks for long sequences

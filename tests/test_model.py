@@ -165,6 +165,43 @@ def test_bfloat16_compute_dtype(setup, jitted):
         assert bool(jnp.all(jnp.isfinite(v.astype(jnp.float32))))
 
 
+def test_dense_ipa_attention_bf16_inputs_f32_accumulate():
+    """Mixed-precision contract of the attention of record (ipa.py): with
+    bf16 q/k/v/bias/pair_z the logits, softmax, and all three outputs are
+    computed/accumulated in f32 (preferred_element_type) — outputs are
+    f32 dtype and close to the all-f32 result at bf16 input tolerance."""
+    import math
+
+    from dynamicpdb_tpu.models.ipa import dense_ipa_attention
+
+    key = jax.random.PRNGKey(3)
+    F, N, H, C, Pq, Pv, Dz = 2, 12, 2, 8, 2, 3, 4
+    ks = jax.random.split(key, 8)
+    q = jax.random.normal(ks[0], (F, N, H, C))
+    k = jax.random.normal(ks[1], (F, N, H, C))
+    v = jax.random.normal(ks[2], (F, N, H, C))
+    qp = jax.random.normal(ks[3], (F, N, H, Pq, 3))
+    kp = jax.random.normal(ks[4], (F, N, H, Pq, 3))
+    vp = jax.random.normal(ks[5], (F, N, H, Pv, 3))
+    bias = jax.random.normal(ks[6], (N, N, H))
+    pz = jax.random.normal(ks[7], (N, N, Dz))
+    mask = jnp.ones((F, N)).at[:, -3:].set(0.0)
+    hw = jnp.ones((H,))
+    cqk = math.sqrt(1.0 / (3 * C))
+
+    o32 = dense_ipa_attention(q, k, v, qp, kp, vp, bias, pz, mask, hw, cqk)
+    bf = jnp.bfloat16
+    obf = dense_ipa_attention(
+        q.astype(bf), k.astype(bf), v.astype(bf), qp, kp, vp,
+        bias.astype(bf), pz.astype(bf), mask, hw, cqk,
+    )
+    for a32, abf in zip(o32, obf):
+        assert abf.dtype == jnp.float32
+        np.testing.assert_allclose(
+            np.asarray(abf), np.asarray(a32), atol=0.08, rtol=0.05
+        )
+
+
 def test_batch_vmap_equals_independent_windows(setup):
     """B>1 semantics: our batch axis is vmap over INDEPENDENT windows, so a
     B=2 batch must reproduce two B=1 forwards exactly.
