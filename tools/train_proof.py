@@ -14,6 +14,16 @@ so every byte of the data path is exercised.
 
     python tools/train_proof.py [--pid 1a62_A] [--release-dir DIR]
         [--n-res 48] [--steps 300]
+
+--n-proteins K > 1 produces the MULTI-protein variant (BASELINE.json
+config 2, "10-protein dynamicPDB subset"): K synthetic proteins with
+DIFFERENT lengths (n_res/2 .. n_res, exercising real pad_to masking
+across the batch) and different conformations/sequences, one shared
+manifest, mixed-protein batches via EpochSampler, per-protein eval rows
+in the artifact:
+
+    python tools/train_proof.py --n-proteins 10 --steps 800 --batch 4 \
+        --out docs/artifacts/train_proof_multi
 """
 from __future__ import annotations
 
@@ -30,12 +40,12 @@ import numpy as np
 
 
 def make_release_files(workdir: str, pid: str, n_res: int, n_frames: int,
-                       rot_wiggle: float = 0.0):
+                       rot_wiggle: float = 0.0, seed: int = 1):
     """Synthesize an MD-like trajectory and write the reference release
     multi-file layout."""
     from dynamicpdb_tpu.data.synthetic import make_window
 
-    w = make_window(n_res=n_res, frame_time=n_frames, seed=1,
+    w = make_window(n_res=n_res, frame_time=n_frames, seed=seed,
                     rot_wiggle=rot_wiggle)
     os.makedirs(workdir, exist_ok=True)
     npz = os.path.join(workdir, f"{pid}_new_w_pp.npz")
@@ -76,6 +86,17 @@ def main(argv=None):
     parser.add_argument("--n-frames", type=int, default=32)
     parser.add_argument("--steps", type=int, default=300)
     parser.add_argument("--batch", type=int, default=2)
+    parser.add_argument("--rollout", type=int, default=0,
+                        help=">0: after eval, run an N-frame autoregressive "
+                             "rollout with the freshly trained model and "
+                             "write <out>_rollout.html (interactive 3D CA "
+                             "trajectory) — the full train->eval->serve "
+                             "demo in one offline command")
+    parser.add_argument("--n-proteins", type=int, default=1,
+                        help=">1: multi-protein training proof (BASELINE "
+                             "config 2) — K synthetic proteins of varying "
+                             "length n_res/2..n_res, mixed-protein batches, "
+                             "per-protein eval rows")
     parser.add_argument("--rot-wiggle", type=float, default=0.05,
                         help="per-residue rotational MD wiggle (radians); "
                         ">0 makes the rotation channel non-degenerate "
@@ -91,6 +112,12 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
 
     import jax
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor an
+    # explicit CPU request (e.g. when the TPU tunnel is unavailable) the
+    # same way __graft_entry__ does
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -117,19 +144,41 @@ def main(argv=None):
         os.makedirs(args.workdir, exist_ok=True)
         pack_from_dynamicpdb_release(bundle, args.release_dir, args.pid)
         row = {"atlas_npz": bundle, "seq_len": 0}
+        rows_by_pid = {args.pid: row}
         data_source = f"real release dir {args.release_dir}"
+    elif args.n_proteins > 1:
+        # BASELINE config 2: a K-protein subset with DIFFERENT lengths so
+        # mixed-protein batches exercise real padding masks; deterministic
+        # length spread n_res/2 .. n_res
+        rows_by_pid = {}
+        for i in range(args.n_proteins):
+            pid = f"synth{i:02d}_A"
+            n_i = args.n_res // 2 + (
+                (args.n_res - args.n_res // 2) * i
+            ) // max(args.n_proteins - 1, 1)
+            rows_by_pid[pid] = make_release_files(
+                args.workdir, pid, n_i, args.n_frames,
+                rot_wiggle=args.rot_wiggle, seed=100 + i,
+            )
+        data_source = (
+            f"synthetic MD, {args.n_proteins} proteins of length "
+            f"{args.n_res // 2}..{args.n_res}, release layout (offline run)"
+        )
     else:
         row = make_release_files(
             args.workdir, args.pid, args.n_res, args.n_frames,
             rot_wiggle=args.rot_wiggle,
         )
+        rows_by_pid = {args.pid: row}
         data_source = "synthetic MD in release layout (offline run)"
 
     manifest = os.path.join(args.workdir, "manifest.csv")
+    fieldnames = ["name"] + list(next(iter(rows_by_pid.values())))
     with open(manifest, "w", newline="") as f:
-        wtr = csv.DictWriter(f, fieldnames=["name"] + list(row))
+        wtr = csv.DictWriter(f, fieldnames=fieldnames)
         wtr.writeheader()
-        wtr.writerow({"name": args.pid, **row})
+        for pid, row in rows_by_pid.items():
+            wtr.writerow({"name": pid, **row})
 
     # --- config (BASELINE.json config-1 shape: F=2 window, small IPA) ------
     n_res = args.n_res
@@ -183,12 +232,15 @@ def main(argv=None):
     # --- artifact -----------------------------------------------------------
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     artifact = {
-        "pid": args.pid,
+        "pid": ",".join(rows_by_pid) if args.n_proteins > 1 else args.pid,
         "data_source": data_source,
         "steps": args.steps,
         "train_seconds": round(train_s, 1),
         "loss_curve": history,
         "eval_means": means,
+        # per-protein metric rows (interesting in the multi-protein proof:
+        # shows every length in the padded batch learned, not just the mean)
+        "eval_rows": rows if args.n_proteins > 1 else None,
         "atom_error_note": (
             "floor_* = GT rigids + GT torsions through the idealized-"
             "geometry decoder vs raw GT atoms (irreducible); model_* = "
@@ -216,13 +268,43 @@ def main(argv=None):
         ax.set_yscale("log")
         ax.set_xlabel("step")
         ax.set_ylabel("loss")
-        ax.set_title(f"{args.pid} single-protein training ({data_source})")
+        title = (
+            f"{args.n_proteins}-protein training"
+            if args.n_proteins > 1
+            else f"{args.pid} single-protein training"
+        )
+        ax.set_title(f"{title} ({data_source})")
         ax.legend()
         fig.tight_layout()
         fig.savefig(args.out + ".png", dpi=120)
         print("wrote", args.out + ".png")
     except ImportError:
         pass
+
+    if args.rollout:
+        import jax.numpy as jnp
+
+        from dynamicpdb_tpu.analysis.interactive import (
+            trajectory_figure, write_html,
+        )
+        from dynamicpdb_tpu.data.featurize import featurize_window
+        from dynamicpdb_tpu.sampling.reverse import rollout as rollout_fn
+
+        raw = test_ds.get_window(0, np.random.default_rng(2))
+        raw.pop("name", None)
+        feats = featurize_window(jax.tree_util.tree_map(jnp.asarray, raw))
+        atom_traj, _ = jax.jit(
+            lambda p, k, f: rollout_fn(
+                k, exp.trainer.model, p, exp.trainer.diffuser, f,
+                n_steps=args.rollout, num_t=cfg.data.num_t, noise_scale=0.1,
+            )
+        )(exp.params, jax.random.PRNGKey(11), feats)
+        keep = np.asarray(feats["res_mask"][0]) > 0  # drop pad rows
+        ca = np.asarray(atom_traj)[:, keep, 1]  # atom37 index 1 = CA
+        html = write_html(
+            trajectory_figure(ca), args.out + "_rollout.html"
+        )
+        print("wrote", html)
 
     final = history[-1]["total_loss"] if history else float("nan")
     first = history[0]["total_loss"] if history else float("nan")
