@@ -13,6 +13,7 @@ from __future__ import annotations
 import argparse
 import json
 import logging
+import os
 
 import jax
 
@@ -40,6 +41,13 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("eval")
+
+    # some TPU plugins (axon) ignore the JAX_PLATFORMS env var; honor an
+    # explicit CPU request before any device use (same as train_cli)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
 

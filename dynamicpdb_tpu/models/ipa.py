@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from dynamicpdb_tpu.config import IPAConfig
 from dynamicpdb_tpu.models.layers import Linear
 from dynamicpdb_tpu.ops.rigid import Rigid
+from dynamicpdb_tpu.parallel import sp
 
 
 def dense_ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
@@ -63,6 +64,9 @@ def dense_ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
     )  # [F, H, N, N]
     a = a + (-0.5) * head_weights[None, :, None, None] * pt_att
     a = a + inf * (mask[:, :, None] * mask[:, None, :] - 1.0)[:, None]
+    # sequence parallelism: the [F, H, N, N] logits — the O(N^2) memory
+    # peak — shard over 'seq' on the query axis (identity when inactive)
+    a = sp.shard(a, None, None, "seq", None)
     a = nn.softmax(a, axis=-1)  # [F, H, N, N] float32
     return (
         jnp.einsum("fhij,fjhc->fihc", a, v, preferred_element_type=f32),
@@ -116,8 +120,12 @@ class InvariantPointAttention(nn.Module):
 
         # pair projections (frame-shared) ----------------------------------
         zd = z.astype(dt) if dt is not None else z
-        b = Linear(H, "torch", dtype=dt, name="linear_b")(zd)  # [N, N, H]
-        pair_z = Linear(c.c_z // 4, "torch", dtype=dt, name="down_z")(zd)
+        b = sp.shard(
+            Linear(H, "torch", dtype=dt, name="linear_b")(zd), "seq"
+        )  # [N, N, H]
+        pair_z = sp.shard(
+            Linear(c.c_z // 4, "torch", dtype=dt, name="down_z")(zd), "seq"
+        )
         head_weights = nn.softplus(
             self.param(
                 "head_weights",
@@ -148,6 +156,11 @@ class InvariantPointAttention(nn.Module):
 
             on_tpu = jax.default_backend() == "tpu" or c.pallas_interpret
             use_pallas = on_tpu and N >= c.pallas_min_n and N % 128 == 0
+        if sp.is_active():
+            # a pallas_call is opaque to GSPMD: under a 'seq' mesh it would
+            # force an all-gather of its operands, defeating the sharding.
+            # The dense einsum path partitions cleanly (see parallel/sp.py).
+            use_pallas = False
         if use_pallas:
             from dynamicpdb_tpu.ops.pallas.ipa_attention import ipa_attention
 

@@ -45,6 +45,7 @@ from dynamicpdb_tpu.models.layers import (
 )
 from dynamicpdb_tpu.ops import frames as frame_ops
 from dynamicpdb_tpu.ops.rigid import Rigid
+from dynamicpdb_tpu.parallel import sp
 
 
 def _ref_cat(x):
@@ -81,9 +82,14 @@ class DFoldScoreNetwork(nn.Module):
 
         # OmegaFold representation expansion (Dfold_network_dynamic.py:444-445)
         expand_node = Linear(D, "torch", name="expand_node")(feats["node_repr"])
+        # sequence parallelism (parallel/sp.py): the O(N^2) edge tensors are
+        # sharded over 'seq' on their query axis; identities when inactive.
+        # The RAW input is constrained too so the expansion matmul (and its
+        # backward) never materializes an unsharded [N, N, c] buffer.
         expand_edge = Linear(cfg.edge_embed_size, "torch", name="expand_edge")(
-            feats["edge_repr"]
+            sp.shard(feats["edge_repr"], "seq")
         )  # [N, N, c_z], frame-shared
+        expand_edge = sp.shard(expand_edge, "seq")
 
         # conditioning inputs with the prediction slot seeded from frame F-2.
         # drop_ref implements WORKING classifier-free guidance: the reference
@@ -124,6 +130,7 @@ class DFoldScoreNetwork(nn.Module):
             )(feats["aatype"][0])  # [N, D], frame-shared
             node_embed = node_embed + aatype_embed[None]
         node_embed = node_embed * node_mask[..., None]
+        node_embed = sp.shard(node_embed, None, "seq")
         edge_embed = expand_edge
 
         rigid_embeder = MLPEmbedder(D, dtype=dtype, name="rigid_embeder")
@@ -152,6 +159,7 @@ class DFoldScoreNetwork(nn.Module):
                     Rigid.from_tensor_7(curr_rigids), node_mask,
                 )
             ipa_out = GlobalStatNorm()(ipa_out, mask=node_mask)
+            ipa_out = sp.shard(ipa_out, None, "seq")
             node_feat = jnp.concatenate(
                 [rigids_embed, ipa_out, force_embed, vel_embed, angle_embed],
                 axis=-1,
@@ -162,6 +170,7 @@ class DFoldScoreNetwork(nn.Module):
                 node_feat.astype(dtype) if dtype else node_feat,
                 mask=node_mask,
             ).astype(jnp.float32)  # frame-time mixing
+            node_feat = sp.shard(node_feat, None, "seq")
 
             rigid_update = BackboneUpdate(name=f"bb_update_{b}")(node_feat)
             # never move the reference frames (ipa_pytorch_dynamic.py:869)

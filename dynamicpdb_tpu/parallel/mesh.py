@@ -99,8 +99,10 @@ def make_hybrid_mesh(
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch-of-windows) axis across every data-like
-    mesh axis ('data', plus 'slice' under Multislice)."""
-    axes = tuple(a for a in mesh.axis_names if a != "model")
+    mesh axis ('data', plus 'slice' under Multislice). 'model' (tensor
+    parallelism) and 'seq' (residue-axis sequence parallelism, parallel/
+    sp.py) replicate the batch instead."""
+    axes = tuple(a for a in mesh.axis_names if a not in ("model", "seq"))
     return NamedSharding(mesh, P(axes))
 
 

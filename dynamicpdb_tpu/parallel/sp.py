@@ -1,0 +1,85 @@
+"""Sequence parallelism: GSPMD sharding of the residue axis.
+
+The reference has no sequence/context parallelism of any kind (SURVEY
+§2.4): every device holds the full O(N²) pair tensors and the full IPA
+attention, and sequence length is simply capped at 256 residues
+(/root/reference/config/train_DFOLDv2.yaml:29). On TPU the idiomatic
+scaling story for long proteins is NOT a hand-written ring: annotate the
+residue axis of the big activations with a 'seq' mesh axis and let GSPMD
+partition the IPA einsums / ConvNet and insert the halo / all-gather
+collectives over ICI.
+
+Mechanics: the model body calls :func:`shard` on its residue-major
+activations (node [F, N, c], edge [N, N, c_z], attention logits
+[F, H, N, N]). When no 'seq' mesh axis is active these calls are
+zero-cost identities, so the single-device / pure-DP paths are untouched.
+When a Trainer is built over a mesh with a 'seq' axis of size > 1 it
+activates this module, and every constraint becomes a
+``lax.with_sharding_constraint`` against that mesh (the constraints
+compose with vmap: the batch dim is inserted unsharded).
+
+What this buys at flagship dims: the edge tensor [N, N, 128] and the
+per-block [F, H, N, N] attention logits — the O(N²) memory that caps
+sequence length — scale as N²/seq per device, so an 8-way 'seq' axis
+raises the trainable N by ~√8 at constant HBM (measured table in
+docs/DESIGN.md).
+
+The Pallas IPA kernel is bypassed while sequence parallelism is active:
+a ``pallas_call`` is opaque to GSPMD (it would force an all-gather of
+its operands), while the dense einsum path partitions cleanly. A
+shard_map-wrapped blockwise kernel can lift this later without touching
+the model.
+"""
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+_MESH: Mesh | None = None
+
+
+def enable(mesh: Mesh | None) -> bool:
+    """Activate residue-axis sharding against ``mesh`` if it carries a
+    'seq' axis of size > 1. Returns whether activation happened."""
+    global _MESH
+    if (
+        mesh is not None
+        and "seq" in mesh.axis_names
+        and mesh.shape["seq"] > 1
+    ):
+        _MESH = mesh
+        return True
+    _MESH = None
+    return False
+
+
+def disable() -> None:
+    global _MESH
+    _MESH = None
+
+
+def is_active() -> bool:
+    return _MESH is not None
+
+
+@contextmanager
+def activated(mesh: Mesh | None):
+    """Scoped activation (tests / eval harnesses)."""
+    global _MESH
+    prev = _MESH
+    try:
+        enable(mesh)
+        yield
+    finally:
+        _MESH = prev
+
+
+def shard(x, *axes):
+    """Constrain ``x`` so the dims named in ``axes`` ('seq' or None per
+    dim; trailing dims may be omitted) are sharded over the active mesh.
+    Identity when sequence parallelism is inactive."""
+    if _MESH is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, NamedSharding(_MESH, P(*axes)))

@@ -39,6 +39,12 @@ class Trainer:
 
         self.optimizer = make_optimizer(cfg.experiment)
         self.mesh = mesh
+        # residue-axis sequence parallelism: activates the sharding
+        # constraints inside the model body when the mesh has a 'seq' axis
+        # (parallel/sp.py); no-op otherwise
+        from dynamicpdb_tpu.parallel import sp
+
+        sp.enable(mesh)
         self._train_step = None
         self._opt_shardings = None
         self._param_shardings = None
@@ -200,14 +206,36 @@ class Trainer:
                     if opt_state is not None
                     else getattr(self, "_opt_shardings", None)
                 ) or rspec
-                self._train_step = jax.jit(
+                step = jax.jit(
                     self.train_step,
                     donate_argnums=donate,
                     in_shardings=(pspec, ospec, rspec, bspec),
                     out_shardings=(pspec, ospec, rspec),
                 )
+
+                def stepped(*args, _step=step):
+                    # jit traces lazily at the first CALL: pin this
+                    # trainer's sequence-parallel state (parallel/sp.py)
+                    # for the trace so interleaved trainers over different
+                    # meshes (tests, eval harnesses) can't cross-wire the
+                    # global toggle. Compiled-cache hits make the context
+                    # manager the only per-call cost.
+                    from dynamicpdb_tpu.parallel import sp
+
+                    with sp.activated(self.mesh):
+                        return _step(*args)
+
+                self._train_step = stepped
             else:
-                self._train_step = jax.jit(self.train_step, donate_argnums=donate)
+                step = jax.jit(self.train_step, donate_argnums=donate)
+
+                def stepped(*args, _step=step):
+                    from dynamicpdb_tpu.parallel import sp
+
+                    with sp.activated(None):
+                        return _step(*args)
+
+                self._train_step = stepped
         return self._train_step
 
 

@@ -40,6 +40,21 @@ def main(argv=None):
     )
     log = logging.getLogger("train")
 
+    # some TPU plugins (axon) ignore the JAX_PLATFORMS env var; honor an
+    # explicit CPU request through jax.config before any device use, the
+    # same way __graft_entry__ and tools/train_proof.py do
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        if "host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+            import re as _re
+
+            m = _re.search(
+                r"host_platform_device_count=(\d+)",
+                os.environ["XLA_FLAGS"],
+            )
+            if m:
+                jax.config.update("jax_num_cpu_devices", int(m.group(1)))
+
     from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
@@ -63,7 +78,14 @@ def main(argv=None):
     pad_to = args.pad_to or cfg.data.filtering.max_len
     dataset = TrajectoryDataset(cfg.data, split="train", pad_to=pad_to)
     n_dev = jax.device_count()
-    if n_dev > 1:
+    if cfg.experiment.mesh_shape:
+        # explicit mesh from config: e.g. mesh_shape=(2,4),
+        # mesh_axes=('data','seq') for residue-axis sequence parallelism
+        # (parallel/sp.py) or ('data','model') for tensor parallelism
+        mesh = mesh_lib.make_mesh(
+            tuple(cfg.experiment.mesh_shape), tuple(cfg.experiment.mesh_axes)
+        )
+    elif n_dev > 1:
         n_slices = mesh_lib.detect_num_slices()
         mesh = (
             mesh_lib.make_hybrid_mesh()  # DCN-aware ('slice','data') mesh
@@ -73,8 +95,19 @@ def main(argv=None):
     else:
         mesh = None
     # batch_size is PER DEVICE (configs/release.yaml); the old
-    # max(batch, n_dev) silently degraded B=8 on 8 devices to 1/device
-    global_batch = cfg.experiment.batch_size * max(n_dev, 1)
+    # max(batch, n_dev) silently degraded B=8 on 8 devices to 1/device.
+    # Only data-like axes replicate the step over the batch — 'model'/'seq'
+    # shard within a window, so they don't multiply the global batch.
+    if mesh is not None:
+        n_batch_dev = int(
+            np.prod([
+                mesh.shape[a] for a in mesh.axis_names
+                if a not in ("model", "seq")
+            ])
+        )
+    else:
+        n_batch_dev = 1
+    global_batch = cfg.experiment.batch_size * max(n_batch_dev, 1)
     sampler = EpochSampler(
         n_items=len(dataset),
         batch_size=global_batch,
