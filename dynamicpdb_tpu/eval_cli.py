@@ -43,10 +43,11 @@ def main(argv=None):
     log = logging.getLogger("eval")
 
     # some TPU plugins (axon) ignore the JAX_PLATFORMS env var; honor an
-    # explicit CPU request before any device use (same as train_cli)
+    # explicit CPU request before any device use (same as train_cli).
+    # NOTE: uses the module-level jax import — a local `import jax` here
+    # would shadow it for the whole function (UnboundLocalError on the
+    # non-cpu path; caught by test_eval_cli_ref_ckpt_end_to_end).
     if os.environ.get("JAX_PLATFORMS") == "cpu":
-        import jax
-
         jax.config.update("jax_platforms", "cpu")
 
     from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
