@@ -75,7 +75,6 @@ def read_pdb(path: str):
             if not (is_atom or is_mse):
                 continue
             name = line[12:16].strip()
-            altloc = line[16]
             res3 = "MET" if is_mse else line[17:20].strip()
             if is_mse and name == "SE":
                 name = "SD"
@@ -91,11 +90,10 @@ def read_pdb(path: str):
                 )
                 order.append(key)
             if name in chem.ATOM_ORDER and (key, name) not in coords:
-                # first altLoc wins (altLoc column 17; conformer 'A'/' '
-                # comes first in deposited files) — later conformers must
-                # not overwrite, or a residue mixes conformers
-                if altloc not in (" ", "A", "1"):
-                    continue
+                # first altLoc wins: the not-in-coords guard keeps the
+                # first conformer seen for each atom, whatever its label —
+                # an explicit ' '/'A' whitelist would silently DROP atoms
+                # whose only deposited conformer is 'B' (review finding)
                 xyz = np.array(
                     [float(line[30:38]), float(line[38:46]), float(line[46:54])]
                 )

@@ -86,6 +86,14 @@ def tm_score(pred_ca: np.ndarray, gt_ca: np.ndarray, n_iter: int = 20):
             best_local = score
             w = 1.0 / (1.0 + (d / d0) ** 2) ** 2
             R, t = _fit_transform(pred_ca, gt_ca, w)
+        else:
+            # iteration budget exhausted while still improving: the last
+            # refit was computed but not yet scored — score it rather than
+            # discard a paid-for SVD (review finding)
+            d = np.linalg.norm(pred_ca @ R + t - gt_ca, axis=-1)
+            best_local = max(
+                best_local, float(np.mean(1.0 / (1.0 + (d / d0) ** 2)))
+            )
         return best_local
 
     def score_from(idx):

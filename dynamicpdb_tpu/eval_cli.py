@@ -13,7 +13,6 @@ from __future__ import annotations
 import argparse
 import json
 import logging
-import os
 
 import jax
 
@@ -42,13 +41,9 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     log = logging.getLogger("eval")
 
-    # some TPU plugins (axon) ignore the JAX_PLATFORMS env var; honor an
-    # explicit CPU request before any device use (same as train_cli).
-    # NOTE: uses the module-level jax import — a local `import jax` here
-    # would shadow it for the whole function (UnboundLocalError on the
-    # non-cpu path; caught by test_eval_cli_ref_ckpt_end_to_end).
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    from dynamicpdb_tpu.utils.platform import honor_cpu_request
+
+    honor_cpu_request()
 
     from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
 

@@ -111,8 +111,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put a host batch with the leading axis split across 'data'."""
+    """Place a host batch with the leading axis split across 'data'.
+
+    Single-process: a plain device_put against the batch sharding.
+    Multi-host: each process holds only its LOCAL rows
+    (EpochSampler.local_batch_size), so the global array must be assembled
+    from per-process local data — device_put'ing the local stack against
+    the global sharding would reinterpret it as the whole batch (a
+    num_hosts-times-smaller effective batch with wrong row placement;
+    review finding). Row order across hosts is immaterial here: a training
+    batch is batch_size copies of ONE raw window whose diffusion draws are
+    made per-row on device.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

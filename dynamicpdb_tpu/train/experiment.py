@@ -39,12 +39,12 @@ class Trainer:
 
         self.optimizer = make_optimizer(cfg.experiment)
         self.mesh = mesh
-        # residue-axis sequence parallelism: activates the sharding
-        # constraints inside the model body when the mesh has a 'seq' axis
-        # (parallel/sp.py); no-op otherwise
-        from dynamicpdb_tpu.parallel import sp
-
-        sp.enable(mesh)
+        # residue-axis sequence parallelism (parallel/sp.py) is activated
+        # ONLY around the compiled train step's trace/call (see
+        # compiled_train_step) — never globally: a process-wide toggle here
+        # would bake this mesh's 'seq' constraints into any OTHER jit traced
+        # meanwhile (eval sampling, another trainer's init), a review-caught
+        # hazard.
         self._train_step = None
         self._opt_shardings = None
         self._param_shardings = None

@@ -40,20 +40,9 @@ def main(argv=None):
     )
     log = logging.getLogger("train")
 
-    # some TPU plugins (axon) ignore the JAX_PLATFORMS env var; honor an
-    # explicit CPU request through jax.config before any device use, the
-    # same way __graft_entry__ and tools/train_proof.py do
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
-        if "host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
-            import re as _re
+    from dynamicpdb_tpu.utils.platform import honor_cpu_request
 
-            m = _re.search(
-                r"host_platform_device_count=(\d+)",
-                os.environ["XLA_FLAGS"],
-            )
-            if m:
-                jax.config.update("jax_num_cpu_devices", int(m.group(1)))
+    honor_cpu_request()
 
     from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
 

@@ -172,3 +172,33 @@ def test_read_pdb_insertion_codes_altloc_mse(tmp_path):
     assert mask[2, sd_idx] == 1.0
     np.testing.assert_allclose(atom37[2, sd_idx], [12.0, 0.0, 0.0])
     assert residx.tolist() == [100, 100, 101]
+
+
+def test_read_pdb_b_only_altloc_kept(tmp_path):
+    """Atoms whose ONLY deposited conformer is labelled 'B' must not be
+    dropped: 'first altLoc wins' means first-seen per (residue, atom),
+    not a ' '/'A' whitelist (review finding — conformer-A-pruned files
+    and occupancy-sorted deposits label the survivor 'B')."""
+
+    def rec(serial, name, altloc, res3, resseq, x):
+        pad_name = f" {name:<3s}" if len(name) < 4 else name
+        return (
+            f"{'ATOM':<6s}{serial:5d} {pad_name}{altloc}{res3:>3s} A"
+            f"{resseq:4d}    {x:8.3f}{0.0:8.3f}{0.0:8.3f}  1.00  0.00"
+            f"          {name[0]:>2s}"
+        )
+
+    lines = [
+        rec(1, "N", "B", "ALA", 1, 1.0),
+        rec(2, "CA", "B", "ALA", 1, 2.0),
+        rec(3, "CA", "C", "ALA", 1, 9.0),  # later conformer still loses
+        "END",
+    ]
+    pdb = tmp_path / "bonly.pdb"
+    pdb.write_text("\n".join(lines) + "\n")
+    atom37, mask, aatype, residx = read_pdb(str(pdb))
+    assert len(aatype) == 1
+    ca = chem.ATOM_ORDER["CA"]
+    n = chem.ATOM_ORDER["N"]
+    assert mask[0, n] == 1.0 and mask[0, ca] == 1.0
+    np.testing.assert_allclose(atom37[0, ca], [2.0, 0.0, 0.0])

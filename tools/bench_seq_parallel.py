@@ -39,10 +39,11 @@ def main():
     p.add_argument("--out", default=None, help="write a JSON artifact here")
     args = p.parse_args()
 
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
+    from dynamicpdb_tpu.utils.platform import honor_cpu_request
+
+    if honor_cpu_request():
         import jax
 
-        jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_num_cpu_devices", max(args.devices, 8))
     import jax
     import numpy as np

@@ -17,10 +17,13 @@ so every byte of the data path is exercised.
 
 --n-proteins K > 1 produces the MULTI-protein variant (BASELINE.json
 config 2, "10-protein dynamicPDB subset"): K synthetic proteins with
-DIFFERENT lengths (n_res/2 .. n_res, exercising real pad_to masking
-across the batch) and different conformations/sequences, one shared
-manifest, mixed-protein batches via EpochSampler, per-protein eval rows
-in the artifact:
+DIFFERENT lengths (n_res/2 .. n_res) and different conformations/
+sequences, one shared manifest, batches via EpochSampler, per-protein
+eval rows in the artifact. NOTE: EpochSampler groups each batch from a
+SINGLE protein (batch_size repeats of one index, mirroring the
+reference's DistributedTrainSampler repetition), so length/padding
+variety occurs ACROSS batches, not within one — pad_to masking inside a
+heterogeneous batch is covered separately by tests/test_pad_invariance:
 
     python tools/train_proof.py --n-proteins 10 --steps 800 --batch 4 \
         --out docs/artifacts/train_proof_multi
@@ -95,8 +98,8 @@ def main(argv=None):
     parser.add_argument("--n-proteins", type=int, default=1,
                         help=">1: multi-protein training proof (BASELINE "
                              "config 2) — K synthetic proteins of varying "
-                             "length n_res/2..n_res, mixed-protein batches, "
-                             "per-protein eval rows")
+                             "length n_res/2..n_res (one protein per batch, "
+                             "varying across batches), per-protein eval rows")
     parser.add_argument("--rot-wiggle", type=float, default=0.05,
                         help="per-residue rotational MD wiggle (radians); "
                         ">0 makes the rotation channel non-degenerate "
@@ -113,11 +116,9 @@ def main(argv=None):
 
     import jax
 
-    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor an
-    # explicit CPU request (e.g. when the TPU tunnel is unavailable) the
-    # same way __graft_entry__ does
-    if os.environ.get("JAX_PLATFORMS") == "cpu":
-        jax.config.update("jax_platforms", "cpu")
+    from dynamicpdb_tpu.utils.platform import honor_cpu_request
+
+    honor_cpu_request()
 
     from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
 
@@ -147,9 +148,10 @@ def main(argv=None):
         rows_by_pid = {args.pid: row}
         data_source = f"real release dir {args.release_dir}"
     elif args.n_proteins > 1:
-        # BASELINE config 2: a K-protein subset with DIFFERENT lengths so
-        # mixed-protein batches exercise real padding masks; deterministic
-        # length spread n_res/2 .. n_res
+        # BASELINE config 2: a K-protein subset with DIFFERENT lengths
+        # (deterministic spread n_res/2 .. n_res); batches rotate across
+        # proteins epoch-to-epoch (EpochSampler groups one protein per
+        # batch, like the reference sampler's batch_size repetition)
         rows_by_pid = {}
         for i in range(args.n_proteins):
             pid = f"synth{i:02d}_A"
