@@ -13,10 +13,18 @@ Mechanics: the model body calls :func:`shard` on its residue-major
 activations (node [F, N, c], edge [N, N, c_z], attention logits
 [F, H, N, N]). When no 'seq' mesh axis is active these calls are
 zero-cost identities, so the single-device / pure-DP paths are untouched.
-When a Trainer is built over a mesh with a 'seq' axis of size > 1 it
-activates this module, and every constraint becomes a
-``lax.with_sharding_constraint`` against that mesh (the constraints
-compose with vmap: the batch dim is inserted unsharded).
+A Trainer over a mesh with a 'seq' axis of size > 1 activates this module
+ONLY around its compiled train step's trace/call (``Trainer.
+compiled_train_step`` pins it via :func:`activated`) — never globally,
+so jits traced meanwhile (eval sampling, other trainers) are unaffected.
+While active, every constraint becomes a ``lax.with_sharding_constraint``
+against that mesh (the constraints compose with vmap: the batch dim is
+inserted unsharded).
+
+IMPORTANT: partitioning only happens when the jitted computation knows
+the mesh — the arguments must be device_put on it (or the jit given
+in_shardings). A jit over unplaced single-device arguments compiles with
+num_partitions=1 and silently no-ops every constraint.
 
 What this buys at flagship dims: the edge tensor [N, N, 128] and the
 per-block [F, H, N, N] attention logits — the O(N²) memory that caps
