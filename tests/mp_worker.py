@@ -1,0 +1,80 @@
+"""Worker for the REAL multi-process training test (test_parallel.py::
+test_two_process_training_matches_single_process).
+
+Run as: python tests/mp_worker.py <process_id> <port> <out_json>
+
+Two of these form a 2-process x 4-device CPU cluster (Gloo collectives)
+— the closest a single host gets to a multi-host TPU pod. Exercises
+the genuine multi-host code path end-to-end: jax.distributed init, a
+global 8-device mesh spanning both processes, EpochSampler host
+striding, shard_batch's make_array_from_process_local_data assembly,
+replicated param placement, ZeRO moment sharding over 'data', and the
+cross-process gradient psum. The parent test compares the resulting
+loss/params against a single-process 8-device run of the same batch.
+"""
+import json
+import os
+import sys
+
+pid = int(sys.argv[1])
+port = sys.argv[2]
+out_path = sys.argv[3]
+
+repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, repo)
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+jax.distributed.initialize(
+    coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
+)
+
+import numpy as np  # noqa: E402
+
+from dynamicpdb_tpu.data.dataset import EpochSampler  # noqa: E402
+from dynamicpdb_tpu.data.synthetic import make_window  # noqa: E402
+from dynamicpdb_tpu.parallel import mesh as mesh_lib  # noqa: E402
+from dynamicpdb_tpu.train.experiment import Trainer  # noqa: E402
+from tests.test_train import TINY_CFG  # noqa: E402
+
+assert jax.process_count() == 2 and jax.device_count() == 8
+
+window = make_window(n_res=8, frame_time=2, seed=0)
+mesh = mesh_lib.make_mesh((8,), ("data",))
+trainer = Trainer(TINY_CFG, mesh=mesh)
+key = jax.random.PRNGKey(0)
+params, opt_state = trainer.init_params(key, window)
+
+# host-strided local rows: the sampler contract says each host consumes
+# batch_size/num_hosts copies of the SAME protein per batch
+sampler = EpochSampler(
+    n_items=1, batch_size=8, seed=0, num_hosts=2, host_index=pid,
+    shuffle=False,
+)
+assert sampler.local_batch_size == 4
+local = {k: np.stack([v] * sampler.local_batch_size)
+         for k, v in window.items()}
+batch = mesh_lib.shard_batch(mesh, local)
+leading = jax.tree_util.tree_leaves(batch)[0]
+assert leading.shape[0] == 8, "global batch must be assembled, not local"
+
+step = trainer.compiled_train_step(opt_state)
+params, opt_state, aux = step(params, opt_state, key, batch)
+
+# parameter checksum: identical across processes AND vs single-process
+ck = float(
+    sum(float(jax.numpy.sum(jax.numpy.abs(x)))
+        for x in jax.tree_util.tree_leaves(params))
+)
+result = {
+    "pid": pid,
+    "loss": float(aux["total_loss"]),
+    "grad_norm": float(aux["grad_norm"]),
+    "param_checksum": ck,
+}
+with open(out_path, "w") as f:
+    json.dump(result, f)
+print("mp_worker", result, flush=True)

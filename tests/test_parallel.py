@@ -237,3 +237,61 @@ def test_sequence_parallel_shards_edge_activation():
     )
     assert n_constraints > 0, "no sharding constraints reached the lowered HLO"
     assert '"seq"' in hlo or "'seq'" in hlo or "seq" in hlo
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_two_process_training_matches_single_process(tmp_path):
+    """REAL multi-process validation (2 CPU processes x 4 devices, Gloo):
+    jax.distributed init, global mesh spanning processes, host-strided
+    local batches assembled via make_array_from_process_local_data
+    (mesh_lib.shard_batch's multi-host branch), replicated params, ZeRO
+    moments, cross-process gradient psum. Both workers must agree with
+    each other AND with a single-process 8-device run of the same batch."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+
+    # single-process ground truth (same batch: 8 copies of one window)
+    window = make_window(n_res=8, frame_time=2, seed=0)
+    key = jax.random.PRNGKey(0)
+    mesh = mesh_lib.make_mesh((8,), ("data",))
+    tr = Trainer(TINY_CFG, mesh=mesh)
+    params, opt_state = tr.init_params(key, window)
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.stack([x] * 8)), window
+    )
+    p1, _, aux1 = tr.compiled_train_step(opt_state)(
+        params, opt_state, key, mesh_lib.shard_batch(mesh, batch)
+    )
+    ck1 = float(
+        sum(float(jnp.sum(jnp.abs(x)))
+            for x in jax.tree_util.tree_leaves(p1))
+    )
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "mp_worker.py")
+    outs = [str(tmp_path / f"mp{i}.json") for i in range(2)]
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(i), str(port), outs[i]],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+        )
+        for i in range(2)
+    ]
+    logs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    for p, lg in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{lg[-3000:]}"
+    r0, r1 = (json.load(open(o)) for o in outs)
+
+    assert abs(r0["loss"] - r1["loss"]) < 1e-6  # replicated output agrees
+    np.testing.assert_allclose(r0["loss"], float(aux1["total_loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(r0["param_checksum"], ck1, rtol=1e-5)
