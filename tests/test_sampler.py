@@ -173,3 +173,30 @@ def test_fast_x0_rollout_identical(setup):
     np.testing.assert_allclose(
         np.asarray(fast[1]), np.asarray(full[1]), atol=1e-4
     )
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_rollout_under_sequence_parallelism_matches_single_device(setup):
+    """Long-protein SERVING under sequence parallelism: the same rollout,
+    traced under sp.activated with mesh-placed args, partitions the model's
+    residue axis over 'seq' and must reproduce the single-device rollout
+    (same key => same noise draws; geometry f32)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dynamicpdb_tpu.parallel import mesh as mesh_lib, sp
+
+    _, diffuser, model, feats, params = setup
+    run = lambda p, k, f: rollout(  # noqa: E731
+        k, model, p, diffuser, f, n_steps=3, num_t=3, noise_scale=0.1,
+    )
+    a1, r1 = jax.jit(run)(params, jax.random.PRNGKey(5), feats)
+
+    mesh = mesh_lib.make_mesh((1, 8), ("data", "seq"))
+    rep = NamedSharding(mesh, P())
+    p8 = jax.device_put(params, rep)
+    f8 = jax.device_put(feats, rep)
+    with sp.activated(mesh):
+        a8, r8 = jax.jit(run)(p8, jax.random.PRNGKey(5), f8)
+
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a8), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r8), atol=1e-4)
