@@ -1,7 +1,7 @@
 """Worker for the REAL multi-process training test (test_parallel.py::
 test_two_process_training_matches_single_process).
 
-Run as: python tests/mp_worker.py <process_id> <port> <out_json>
+Run as: python tests/mp_worker.py <process_id> <port> <out_json> [flat|hybrid]
 
 Two of these form a 2-process x 4-device CPU cluster (Gloo collectives)
 — the closest a single host gets to a multi-host TPU pod. Exercises
@@ -19,6 +19,10 @@ import sys
 pid = int(sys.argv[1])
 port = sys.argv[2]
 out_path = sys.argv[3]
+# mesh topology: 'flat' = (8,) over 'data'; 'hybrid' = ('slice','data')
+# 2x4 where the process boundary IS the slice boundary — structurally the
+# multi-host Multislice layout (gradient combine crosses processes once)
+mesh_kind = sys.argv[4] if len(sys.argv) > 4 else "flat"
 
 repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, repo)
@@ -43,7 +47,14 @@ from tests.test_train import TINY_CFG  # noqa: E402
 assert jax.process_count() == 2 and jax.device_count() == 8
 
 window = make_window(n_res=8, frame_time=2, seed=0)
-mesh = mesh_lib.make_mesh((8,), ("data",))
+if mesh_kind == "hybrid":
+    mesh = mesh_lib.make_hybrid_mesh(n_slices=2)
+    assert mesh.axis_names == ("slice", "data")
+    # each process's 4 local devices must form one complete slice row
+    local_ids = {d.id for d in jax.local_devices()}
+    assert {d.id for d in mesh.devices[pid]} == local_ids
+else:
+    mesh = mesh_lib.make_mesh((8,), ("data",))
 trainer = Trainer(TINY_CFG, mesh=mesh)
 key = jax.random.PRNGKey(0)
 params, opt_state = trainer.init_params(key, window)

@@ -240,14 +240,19 @@ def test_sequence_parallel_shards_edge_activation():
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("mesh_kind", ["flat", "hybrid"])
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
-def test_two_process_training_matches_single_process(tmp_path):
+def test_two_process_training_matches_single_process(tmp_path, mesh_kind):
     """REAL multi-process validation (2 CPU processes x 4 devices, Gloo):
     jax.distributed init, global mesh spanning processes, host-strided
     local batches assembled via make_array_from_process_local_data
     (mesh_lib.shard_batch's multi-host branch), replicated params, ZeRO
     moments, cross-process gradient psum. Both workers must agree with
-    each other AND with a single-process 8-device run of the same batch."""
+    each other AND with a single-process 8-device run of the same batch.
+
+    mesh_kind='hybrid' runs the ('slice','data') Multislice layout with
+    the process boundary as the slice boundary — the actual multi-host
+    production topology (one cross-process combine per step)."""
     import json
     import os
     import socket
@@ -281,7 +286,7 @@ def test_two_process_training_matches_single_process(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     procs = [
         subprocess.Popen(
-            [_sys.executable, worker, str(i), str(port), outs[i]],
+            [_sys.executable, worker, str(i), str(port), outs[i], mesh_kind],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         )
         for i in range(2)
