@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from dynamicpdb_tpu.models.omegafold.core import attention
 from dynamicpdb_tpu.models.omegafold.core import layer_norm_f32 as _normalize
+from dynamicpdb_tpu.parallel import sp
 
 
 def _mask2bias(mask, inf=1e9):
@@ -225,7 +226,9 @@ def geometric_attention(p: GeomAttnParams, edge, mask, *, c: int, n_head: int,
 
     d = edge.shape[-1]
     edge = _normalize(edge)
-    use_flash = flash and edge.shape[-2] <= MAX_FLASH_RES
+    # a pallas_call is opaque to GSPMD: under a 'seq' mesh (parallel/sp.py)
+    # the dense einsum path partitions, the fused kernel would all-gather
+    use_flash = flash and edge.shape[-2] <= MAX_FLASH_RES and not sp.is_active()
     # The two layouts hold the same [edge, edge^T] pair; AXIS-MAJOR feeds
     # the fused kernel directly (per-(row, axis) blocks are contiguous), so
     # the flash path never materializes the axis-minor tensor (and vice
@@ -313,6 +316,13 @@ def geoformer_block(p: GeoFormerBlockParams, node, edge, mask, *,
                     attn_c: int, geom_c: int, geom_head: int,
                     flash: bool = False, pad_safe: bool = False):
     """node: [M, L, d_node]; edge: [L, L, d_edge]; mask: [M, L]."""
+    # sequence parallelism (parallel/sp.py): the O(L^2) edge tensor shards
+    # over 'seq' on its query axis, node over its residue axis — identities
+    # when no 'seq' mesh is active. Constraints at the block boundary anchor
+    # GSPMD's propagation through the attention/triangle einsums (and keep
+    # the lax.scan carry sharded across the 50-block stack).
+    node = sp.shard(node, None, "seq")
+    edge = sp.shard(edge, "seq")
     # NOT flash: measured on v5e at release dims, flashing this attention
     # is net-negative (6.31 vs 6.23 s/seq and 4x the compile time) — its
     # dense projections are already large efficient matmuls and the logits
@@ -337,6 +347,7 @@ def geoformer_block(p: GeoFormerBlockParams, node, edge, mask, *,
             gp, edge, mask[..., 0, :], c=geom_c, n_head=geom_head,
             flash=flash, pad_safe=pad_safe,
         )
+        edge = sp.shard(edge, "seq")
     edge = edge + transition(p.edge_transition, edge)
     return node, edge
 

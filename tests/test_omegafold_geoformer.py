@@ -191,3 +191,46 @@ def test_geoformer_block_parity_partial_msa_mask():
     )
     np.testing.assert_allclose(np.asarray(got_node), ref_node.numpy(), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_edge), ref_edge.numpy(), atol=1e-4)
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_geoformer_block_sequence_parallel_matches_single_device():
+    """The GeoFormer block under an 8-way 'seq' mesh (parallel/sp.py:
+    O(L^2) edge tensor sharded on its query axis) must reproduce the
+    unsharded outputs. Long-protein embedding extraction on a pod rides
+    this path; the Pallas GeometricAttention kernel is bypassed under SP."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dynamicpdb_tpu.parallel import mesh as mesh_lib, sp
+    from omegafold import geoformer as ref_geo
+
+    cfg = types.SimpleNamespace(
+        node_dim=D_NODE, edge_dim=D_EDGE, attn_n_head=H, gating=True,
+        attn_c=C, transition_multiplier=2, activation="ReLU",
+        opm_dim=10, geom_c=C, geom_head=H, geom_count=2,
+    )
+    torch.manual_seed(4)
+    block = _sane_init(ref_geo.GeoFormerBlock(cfg))
+    p = G.block_params_from_torch(block)
+    M, L = 2, 16
+    node = jnp.asarray(RNG.normal(size=(M, L, D_NODE)).astype(np.float32))
+    edge = jnp.asarray(RNG.normal(size=(L, L, D_EDGE)).astype(np.float32))
+    mask = jnp.ones((M, L), jnp.float32)
+
+    run = lambda pp, n, e, m: G.geoformer_block(  # noqa: E731
+        pp, n, e, m, attn_c=C, geom_c=C, geom_head=H,
+    )
+    n1, e1 = jax.jit(run)(p, node, edge, mask)
+
+    mesh = mesh_lib.make_mesh((1, 8), ("data", "seq"))
+    rep = NamedSharding(mesh, P())
+    placed = jax.device_put((p, node, edge, mask), rep)
+    with sp.activated(mesh):
+        n8, e8 = jax.jit(run)(*placed)
+
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n8), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e8), atol=2e-5)
