@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from dynamicpdb_tpu.models.omegafold import atoms
+from dynamicpdb_tpu.parallel import sp
 from dynamicpdb_tpu.models.omegafold.embedders import (
     EdgeEmbedderParams,
     RecycleEmbedderParams,
@@ -119,6 +120,10 @@ def deep_sequence_embed(params: OmegaFoldParams, cfg: OmegaFoldConfig,
     node, edges = omega_plm(params.plm, cfg.plm, p_msa, p_msa_mask)
     node = params.plm_node_embedder(_normalize_unbiased(node))
     edge = jnp.transpose(edges, (1, 2, 0))  # [L, L, num_layers]
+    # sequence parallelism: keep the [L, L, 66] stack and its projection
+    # sharded over the query axis between the PLM and the GeoFormer
+    # (identity when no 'seq' mesh is active; parallel/sp.py)
+    edge = sp.shard(edge, "seq")
     edge = params.plm_edge_embedder(_normalize_unbiased(edge))
     edge = edge_embedder(params.input_embedder, p_msa[..., 0, :], out=edge)
     return node, edge

@@ -24,6 +24,7 @@ from dynamicpdb_tpu.models.omegafold.core import (
     gated_attention_unit,
     gau_qk_scaling,
 )
+from dynamicpdb_tpu.parallel import sp
 
 
 class PLMConfig(NamedTuple):
@@ -70,13 +71,17 @@ def omega_plm(params: PLMParams, cfg: PLMConfig, tokens, mask):
     node = node * _finetuning_scale(cfg, mask, tokens)
 
     def layer(node, lp: GAUParams):
+        # sequence parallelism (parallel/sp.py): node shards over its
+        # residue axis, each per-layer [L, L] edge map over its query
+        # axis — identities when no 'seq' mesh is active
+        node = sp.shard(node, None, "seq")
         shortcut = node
         normed = _layer_norm(node)
         update, edge = gated_attention_unit(
             lp, normed, qk_scaling, bias,
             proj_dim=cfg.proj_dim, attn_dim=cfg.attn_dim,
         )
-        return shortcut + update, edge
+        return shortcut + update, sp.shard(edge, "seq")
 
     node, edges = jax.lax.scan(layer, node, params.layers)
     node = _layer_norm(node, params.out_ln_weight, params.out_ln_bias)

@@ -168,3 +168,46 @@ def test_omega_plm_parity():
     np.testing.assert_allclose(
         np.asarray(edges), ref_edges.numpy(), atol=5e-5
     )
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_omega_plm_sequence_parallel_matches_single_device():
+    """The PLM stack under an 8-way 'seq' mesh (parallel/sp.py) must
+    reproduce the unsharded (node, per-layer edge) outputs — the other
+    O(L^2) stage of long-protein embedding extraction."""
+    import jax
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from omegafold import omegaplm
+
+    from dynamicpdb_tpu.models.omegafold.plm import omega_plm, params_from_torch
+    from dynamicpdb_tpu.parallel import mesh as mesh_lib, sp
+
+    cfg = types.SimpleNamespace(
+        alphabet_size=23, node=32, padding_idx=21, edge=3,
+        proj_dim=48, attn_dim=16, num_relpos=129, masked_ratio=0.12,
+        num_head=1,
+    )
+    torch.manual_seed(3)
+    ref = omegaplm.OmegaPLM(cfg).eval()
+    params, pcfg = params_from_torch(ref)
+
+    M, L = 4, 16
+    tokens = jnp.asarray(RNG.integers(0, 21, (M, L)))
+    mask = np.ones((M, L), np.float32)
+    mask[2, 12:] = 0.0
+    mask = jnp.asarray(mask)
+
+    run = lambda p, t, m: omega_plm(p, pcfg, t, m)  # noqa: E731
+    n1, e1 = jax.jit(run)(params, tokens, mask)
+
+    mesh = mesh_lib.make_mesh((1, 8), ("data", "seq"))
+    rep = NamedSharding(mesh, P())
+    placed = jax.device_put((params, tokens, mask), rep)
+    with sp.activated(mesh):
+        n8, e8 = jax.jit(run)(*placed)
+
+    np.testing.assert_allclose(np.asarray(n1), np.asarray(n8), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e8), atol=2e-5)
