@@ -159,7 +159,7 @@ def omegafold_cycle(params: OmegaFoldParams, cfg: OmegaFoldConfig,
     conf = get_all_confidence(plddt, pos14[..., 1, :], mask)
 
     node_out = prev_node_full[..., 0, :, :]
-    return node_out, edge, conf, (node_out, edge, pos14)
+    return node_out, edge, conf, plddt, (node_out, edge, pos14)
 
 
 def _cast_float_leaves(tree, dtype):
@@ -173,10 +173,16 @@ def _cast_float_leaves(tree, dtype):
 def omegafold_embed(params: OmegaFoldParams, cfg: OmegaFoldConfig,
                     cycle_inputs, *, predict_with_confidence: bool = True,
                     jit: bool = True, dtype=None, flash: bool = False,
-                    pad_safe: bool = False):
+                    pad_safe: bool = False, return_structure: bool = False):
     """Run all recycling cycles; return (edge_repr, node_repr) of the most
     confident cycle (model.py:146-210: `if confidence_overall >
     max_confidence` — strictly greater, first cycle wins ties).
+
+    return_structure=True appends a 4th element: {"pos14": [L, 14, 3],
+    "plddt": [L]} of the selected cycle — the fold output the vendored
+    reference computes but DROPS (its forward returns only the reprs,
+    model.py:150-206; upstream OmegaFold returns this for PDB writing).
+    Consumed by fold_cli.
 
     dtype: None (default) runs the reference-parity f32 path. jnp.bfloat16
     casts params and activations for TPU inference; this halves on-device
@@ -212,9 +218,10 @@ def omegafold_embed(params: OmegaFoldParams, cfg: OmegaFoldConfig,
 
     max_conf = 0.0
     final = None
+    final_struct = None
     for cyc in cycle_inputs:
         p_msa_mask = jnp.asarray(cyc["p_msa_mask"]).astype(act)
-        node_out, edge_out, conf, (prev_node, prev_edge, prev_x) = fn(
+        node_out, edge_out, conf, plddt, (prev_node, prev_edge, prev_x) = fn(
             params, jnp.asarray(cyc["p_msa"]), p_msa_mask,
             prev_node, prev_edge, prev_x,
         )
@@ -222,11 +229,18 @@ def omegafold_embed(params: OmegaFoldParams, cfg: OmegaFoldConfig,
         if not predict_with_confidence or conf > max_conf or final is None:
             max_conf = max(max_conf, conf)
             final = (edge_out, node_out)
-    return (
+            final_struct = (prev_x, plddt)  # prev_x IS this cycle's pos14
+    out = (
         final[0].astype(jnp.float32),
         final[1].astype(jnp.float32),
         max_conf,
     )
+    if return_structure:
+        out = out + ({
+            "pos14": final_struct[0].astype(jnp.float32),
+            "plddt": final_struct[1].astype(jnp.float32),
+        },)
+    return out
 
 
 @functools.lru_cache(maxsize=8)
@@ -244,7 +258,8 @@ def omegafold_embed_scan(params: OmegaFoldParams, cfg: OmegaFoldConfig,
                          cycle_inputs, *,
                          predict_with_confidence: bool = True,
                          dtype=None, flash: bool = False,
-                         pad_safe: bool = False):
+                         pad_safe: bool = False,
+                         return_structure: bool = False):
     """omegafold_embed with the recycling loop as ONE device computation.
 
     The python-loop variant fetches each cycle's confidence scalar to host
@@ -264,18 +279,26 @@ def omegafold_embed_scan(params: OmegaFoldParams, cfg: OmegaFoldConfig,
         [jnp.asarray(c["p_msa_mask"]) for c in cycle_inputs]
     ).astype(act)
     fn = _jitted_scan_embed(cfg, flash, pad_safe, predict_with_confidence,
-                            act if dtype is not None else None)
-    best_edge, best_node, best_conf = fn(params, p_msa, p_mask)
-    return (
+                            act if dtype is not None else None,
+                            return_structure)
+    best_edge, best_node, best_conf, *extra = fn(params, p_msa, p_mask)
+    out = (
         best_edge.astype(jnp.float32),
         best_node.astype(jnp.float32),
         float(best_conf),
     )
+    if return_structure:
+        out = out + ({
+            "pos14": extra[0].astype(jnp.float32),
+            "plddt": extra[1].astype(jnp.float32),
+        },)
+    return out
 
 
 @functools.lru_cache(maxsize=8)
 def _jitted_scan_embed(cfg: OmegaFoldConfig, flash: bool, pad_safe: bool,
-                       predict_with_confidence: bool, act_dtype):
+                       predict_with_confidence: bool, act_dtype,
+                       return_structure: bool = False):
     def run(params, p_msa, p_mask):
         act = act_dtype or jnp.float32
         num_res = p_msa.shape[-1]
@@ -284,13 +307,14 @@ def _jitted_scan_embed(cfg: OmegaFoldConfig, flash: bool, pad_safe: bool,
         prev_x = jnp.zeros((num_res, 14, 3), act)
         best_node = jnp.zeros((num_res, cfg.node_dim), act)
         best_edge = prev_edge
+        best_x = prev_x
+        best_plddt = jnp.zeros((num_res,), act)
 
         def body(carry, xs):
-            prev_node, prev_edge, prev_x, best_conf, best_node, best_edge = (
-                carry
-            )
+            (prev_node, prev_edge, prev_x, best_conf, best_node, best_edge,
+             best_x, best_plddt) = carry
             i, pm, pk = xs
-            node_out, edge, conf, (pn, pe, px) = omegafold_cycle(
+            node_out, edge, conf, plddt, (pn, pe, px) = omegafold_cycle(
                 params, cfg, pm, pk, prev_node, prev_edge, prev_x,
                 flash=flash, pad_safe=pad_safe,
             )
@@ -301,6 +325,7 @@ def _jitted_scan_embed(cfg: OmegaFoldConfig, flash: bool, pad_safe: bool,
             # time (bf16 init vs f32 output)
             node_out, edge = node_out.astype(act), edge.astype(act)
             pn, pe, px = pn.astype(act), pe.astype(act), px.astype(act)
+            plddt = plddt.astype(act)
             if predict_with_confidence:
                 # loop semantics exactly (`conf > max_conf or final is
                 # None`): strictly greater, first cycle always populates —
@@ -317,14 +342,19 @@ def _jitted_scan_embed(cfg: OmegaFoldConfig, flash: bool, pad_safe: bool,
                 best_conf = jnp.where(conf > best_conf, conf, best_conf)
             best_node = jnp.where(better, node_out, best_node)
             best_edge = jnp.where(better, edge, best_edge)
-            return (pn, pe, px, best_conf, best_node, best_edge), None
+            best_x = jnp.where(better, px, best_x)
+            best_plddt = jnp.where(better, plddt, best_plddt)
+            return (pn, pe, px, best_conf, best_node, best_edge,
+                    best_x, best_plddt), None
 
         init = (prev_node, prev_edge, prev_x,
-                jnp.float32(0.0), best_node, best_edge)
+                jnp.float32(0.0), best_node, best_edge, best_x, best_plddt)
         n_cyc = p_msa.shape[0]
-        (_, _, _, best_conf, best_node, best_edge), _ = jax.lax.scan(
-            body, init, (jnp.arange(n_cyc), p_msa, p_mask)
+        (_, _, _, best_conf, best_node, best_edge, best_x, best_plddt), _ = (
+            jax.lax.scan(body, init, (jnp.arange(n_cyc), p_msa, p_mask))
         )
+        if return_structure:
+            return best_edge, best_node, best_conf, best_x, best_plddt
         return best_edge, best_node, best_conf
 
     return jax.jit(run)

@@ -346,3 +346,46 @@ def test_scan_embed_bf16_traces_and_runs():
     assert float(np.abs(np.asarray(nbf) - np.asarray(n32)).mean()) < 0.1 * scale
     escale = float(np.abs(np.asarray(e32)).mean()) + 1e-6
     assert float(np.abs(np.asarray(ebf) - np.asarray(e32)).mean()) < 0.1 * escale
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_fold_structure_output_and_pdb(tmp_path):
+    """return_structure surfaces the fold result the vendored reference
+    computes-then-drops: pos14/plddt of the most-confident cycle. The scan
+    and loop variants must agree, and the fold() pipeline must write a PDB
+    that parses back with matching CA coordinates."""
+    from dynamicpdb_tpu.analysis.pdb_io import read_pdb, write_pdb
+    from dynamicpdb_tpu.fold_cli import fold
+
+    ref = _build_ref()
+    params, cfg = M.params_from_torch(ref)
+    _, cycles = next(P.fasta2inputs(FASTA, num_pseudo_msa=2, num_cycle=2))
+
+    e1, n1, c1, s_loop = M.omegafold_embed(
+        params, cfg, cycles, jit=True, return_structure=True
+    )
+    e2, n2, c2, s_scan = M.omegafold_embed_scan(
+        params, cfg, cycles, return_structure=True
+    )
+    np.testing.assert_allclose(np.asarray(s_scan["pos14"]),
+                               np.asarray(s_loop["pos14"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_scan["plddt"]),
+                               np.asarray(s_loop["plddt"]), atol=1e-5)
+    plddt = np.asarray(s_loop["plddt"])
+    assert plddt.shape == (16,) and (plddt >= 0).all() and (plddt <= 1).all()
+    assert np.isfinite(np.asarray(s_loop["pos14"])).all()
+    # the 3-tuple API is unchanged
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=1e-5)
+
+    # full fold pipeline -> PDB roundtrip
+    name, result = next(fold(FASTA, params, cfg, num_cycles=2,
+                             num_pseudo_msa=2))
+    pdb = tmp_path / f"{name}.pdb"
+    b = np.broadcast_to((result["plddt"] * 100.0)[:, None],
+                        result["atom37_mask"].shape)
+    write_pdb(str(pdb), result["atom37"], result["aatype"],
+              atom37_mask=result["atom37_mask"], b_factors=np.asarray(b))
+    atom37, mask, aatype, _ = read_pdb(str(pdb))
+    assert (aatype == result["aatype"]).all()
+    ca = np.asarray(result["atom37"][:, 1])
+    np.testing.assert_allclose(atom37[:, 1], ca, atol=1e-2)  # PDB has 3 dp
