@@ -26,54 +26,69 @@ import os
 
 def fold(fasta_lines, params, cfg, *, num_cycles: int = 10,
          num_pseudo_msa: int = 15, dtype=None, flash: bool = False,
-         scan_cycles: bool = True):
+         scan_cycles: bool = True, pad_multiple: int = 0):
     """Yield (name, dict) per sequence: atom37 [L,37,3], atom37_mask,
-    aatype [L], plddt [L], confidence_overall (float)."""
+    aatype [L], plddt [L], confidence_overall (float).
+
+    pad_multiple: length-bucket padding — one compiled program per bucket
+    instead of a fresh XLA compile per distinct sequence length (outputs
+    sliced back to the true length; same machinery as extraction)."""
     import jax.numpy as jnp
     import numpy as np
 
     from dynamicpdb_tpu.models.omegafold.model import (
+        _cast_float_leaves,
         omegafold_embed,
         omegafold_embed_scan,
     )
     from dynamicpdb_tpu.models.omegafold.pipeline import fasta2inputs
     from dynamicpdb_tpu.ops import frames as frame_ops
 
+    if dtype is not None:
+        # cast once up front (the per-sequence astype inside the embed is
+        # then a no-op) — same rationale as extract_embeddings
+        params = _cast_float_leaves(params, dtype)
     for name, cycles in fasta2inputs(
         fasta_lines, num_pseudo_msa=num_pseudo_msa, num_cycle=num_cycles,
+        pad_multiple=pad_multiple,
     ):
+        n = cycles[0].get("num_res", cycles[0]["p_msa"].shape[-1])
+        fasta = np.asarray(cycles[0]["p_msa"][0][:n])  # primary sequence
+        if (fasta > 20).any():
+            # tokenize() maps '-' (alignment gaps) to token 21; the atom
+            # tables and PDB writer cover residue types 0..20 only, and a
+            # gap has no structure to predict — fail BEFORE the expensive
+            # fold rather than crash (or silently emit X) after it
+            raise ValueError(
+                f"{name}: sequence contains gap/unknown tokens — remove "
+                "'-' characters from the FASTA before folding"
+            )
         embed = omegafold_embed_scan if scan_cycles else omegafold_embed
         _, _, conf, struct = embed(
             params, cfg, cycles, dtype=dtype, flash=flash,
-            return_structure=True,
+            pad_safe=bool(pad_multiple), return_structure=True,
         )
-        fasta = np.asarray(cycles[0]["p_msa"][0])  # primary sequence row
         atom37, mask37 = frame_ops.atom14_to_atom37(
-            jnp.asarray(struct["pos14"]), jnp.asarray(fasta)
+            jnp.asarray(struct["pos14"][:n]), jnp.asarray(fasta)
         )
         yield name, {
             "atom37": np.asarray(atom37),
             "atom37_mask": np.asarray(mask37),
             "aatype": fasta,
-            "plddt": np.asarray(struct["plddt"]),
+            "plddt": np.asarray(struct["plddt"][:n]),
             "confidence_overall": float(conf),
         }
 
 
 def main(argv=None):
     parser = argparse.ArgumentParser()
-    parser.add_argument("--fasta", required=True)
-    parser.add_argument("--out-dir", required=True)
-    parser.add_argument("--weights", required=True,
-                        help="released OmegaFold checkpoint (.pt)")
-    parser.add_argument("--num-cycles", type=int, default=10)
-    parser.add_argument("--num-pseudo-msa", type=int, default=15)
-    parser.add_argument("--dtype", choices=["float32", "bfloat16"],
-                        default="float32")
-    parser.add_argument("--flash", choices=["auto", "on", "off"],
-                        default="auto")
-    parser.add_argument("--no-scan", action="store_true",
-                        help="python-loop recycling instead of lax.scan")
+    from dynamicpdb_tpu.preprocess.extract_embeddings import (
+        add_omegafold_cli_args,
+        load_release_weights,
+        resolve_dtype_flash,
+    )
+
+    add_omegafold_cli_args(parser)
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -87,28 +102,19 @@ def main(argv=None):
 
     enable_persistent_cache()
 
-    import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from dynamicpdb_tpu.analysis.pdb_io import write_pdb
-    from dynamicpdb_tpu.preprocess.extract_embeddings import (
-        load_release_weights,
-    )
 
     params, cfg = load_release_weights(args.weights)
     os.makedirs(args.out_dir, exist_ok=True)
     with open(args.fasta) as f:
         lines = f.readlines()
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
-    if args.flash == "auto":
-        flash = jax.devices()[0].platform == "tpu"
-    else:
-        flash = args.flash == "on"
+    dtype, flash = resolve_dtype_flash(args)
     for name, result in fold(
         lines, params, cfg, num_cycles=args.num_cycles,
         num_pseudo_msa=args.num_pseudo_msa, dtype=dtype, flash=flash,
-        scan_cycles=not args.no_scan,
+        scan_cycles=not args.no_scan, pad_multiple=args.pad_multiple,
     ):
         pdb_path = os.path.join(args.out_dir, f"{name}.pdb")
         b = np.broadcast_to(

@@ -111,8 +111,9 @@ def extract_embeddings(
         }
 
 
-def main(argv=None):
-    parser = argparse.ArgumentParser()
+def add_omegafold_cli_args(parser):
+    """Shared argument set of the OmegaFold-backed CLIs (this extraction
+    CLI and fold_cli) — one definition so flag semantics cannot drift."""
     parser.add_argument("--fasta", required=True)
     parser.add_argument("--out-dir", required=True)
     parser.add_argument("--weights", required=True,
@@ -136,6 +137,25 @@ def main(argv=None):
     parser.add_argument("--no-scan", action="store_true",
                         help="run the recycling loop on host (one dispatch "
                              "per cycle) instead of the on-device scan")
+
+
+def resolve_dtype_flash(args):
+    """(dtype, flash) from the shared --dtype/--flash flags; 'auto' flash
+    enables the Pallas kernel on TPU backends only."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+    if args.flash == "auto":
+        flash = jax.devices()[0].platform == "tpu"
+    else:
+        flash = args.flash == "on"
+    return dtype, flash
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    add_omegafold_cli_args(parser)
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -148,14 +168,7 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     with open(args.fasta) as f:
         lines = f.readlines()
-    import jax
-    import jax.numpy as jnp
-
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
-    if args.flash == "auto":
-        flash = jax.devices()[0].platform == "tpu"
-    else:
-        flash = args.flash == "on"
+    dtype, flash = resolve_dtype_flash(args)
     for name, arrays in extract_embeddings(
         lines, params, cfg, dtype=dtype, flash=flash,
         num_cycles=args.num_cycles, num_pseudo_msa=args.num_pseudo_msa,

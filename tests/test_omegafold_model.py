@@ -389,3 +389,16 @@ def test_fold_structure_output_and_pdb(tmp_path):
     assert (aatype == result["aatype"]).all()
     ca = np.asarray(result["atom37"][:, 1])
     np.testing.assert_allclose(atom37[:, 1], ca, atol=1e-2)  # PDB has 3 dp
+
+
+@pytest.mark.skipif(not ref_available, reason="reference not mounted")
+def test_fold_rejects_gap_tokens():
+    """'-' tokenizes to 21, outside the atom tables / PDB writer domain —
+    fold() must fail fast with a clear message, not after the compute."""
+    from dynamicpdb_tpu.fold_cli import fold
+
+    ref = _build_ref()
+    params, cfg = M.params_from_torch(ref)
+    gap_fasta = [">g\n", "MKTA-YIAK\n"]
+    with pytest.raises(ValueError, match="gap"):
+        next(fold(gap_fasta, params, cfg, num_cycles=1, num_pseudo_msa=1))

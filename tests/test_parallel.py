@@ -291,7 +291,13 @@ def test_two_process_training_matches_single_process(tmp_path, mesh_kind):
         )
         for i in range(2)
     ]
-    logs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    try:
+        logs = [p.communicate(timeout=420)[0].decode() for p in procs]
+    finally:
+        # a timeout must not leave detached workers holding the port/CPU
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, lg in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{lg[-3000:]}"
     r0, r1 = (json.load(open(o)) for o in outs)
@@ -299,4 +305,7 @@ def test_two_process_training_matches_single_process(tmp_path, mesh_kind):
     assert abs(r0["loss"] - r1["loss"]) < 1e-6  # replicated output agrees
     np.testing.assert_allclose(r0["loss"], float(aux1["total_loss"]),
                                rtol=1e-5)
+    # BOTH workers' post-update params must match the single-process run —
+    # an asymmetric corruption on process 1 must not pass on r0 alone
     np.testing.assert_allclose(r0["param_checksum"], ck1, rtol=1e-5)
+    np.testing.assert_allclose(r1["param_checksum"], ck1, rtol=1e-5)

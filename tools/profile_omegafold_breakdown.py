@@ -95,7 +95,7 @@ def main():
         return prev_node_full.sum() + edge.sum() + final_node.sum()
 
     def full_cycle(params, p_msa, p_msa_mask, prev_node, prev_edge, prev_x):
-        node_out, edge, conf, _ = M.omegafold_cycle(
+        node_out, edge, conf, _plddt, _ = M.omegafold_cycle(
             params, cfg, p_msa, p_msa_mask, prev_node, prev_edge, prev_x
         )
         return node_out.sum() + edge.sum() + conf
