@@ -1,0 +1,148 @@
+"""Robustness of the external-file parsers (PDB, mmCIF).
+
+These ingest files from the wild (RCSB deposits, user exports, partially
+downloaded trajectories). The contract: malformed input must either parse
+the valid subset or raise a clean ValueError — never crash with an
+IndexError/KeyError deep inside the tokenizer, and never return
+inconsistent (atom37, mask, aatype) shapes. Deterministic seeded "fuzz":
+structured corruptions of valid files plus adversarial hand-built cases.
+"""
+import numpy as np
+import pytest
+
+from dynamicpdb_tpu.analysis.pdb_io import read_pdb, write_pdb
+from dynamicpdb_tpu.preprocess.mmcif import parse_mmcif, write_mmcif
+
+
+def _valid_pdb(tmp_path):
+    n = 5
+    atom37 = np.zeros((n, 37, 3), np.float32)
+    atom37[:, :4] = np.arange(n)[:, None, None] * 4.0 + np.arange(3)
+    aatype = np.array([0, 5, 7, 12, 19], np.int32)
+    mask = np.zeros((n, 37), np.float32)
+    mask[:, :4] = 1.0
+    p = tmp_path / "valid.pdb"
+    write_pdb(str(p), atom37, aatype, atom37_mask=mask)
+    return p
+
+
+def _check_consistent(result):
+    atom37, mask, aatype, residx = result
+    n = len(aatype)
+    assert atom37.shape == (n, 37, 3)
+    assert mask.shape == (n, 37)
+    assert residx.shape == (n,)
+    assert np.isfinite(atom37).all()
+
+
+def test_read_pdb_truncated_lines(tmp_path):
+    """Truncating a valid PDB mid-line (partial download) must not crash."""
+    src = _valid_pdb(tmp_path).read_text().splitlines()
+    for cut in (1, len(src) // 2, len(src) - 1):
+        chopped = "\n".join(src[:cut]) + "\n" + src[cut][: len(src[cut]) // 2]
+        p = tmp_path / f"trunc{cut}.pdb"
+        p.write_text(chopped + "\n")
+        try:
+            _check_consistent(read_pdb(str(p)))
+        except ValueError:
+            pass  # clean rejection is acceptable
+
+
+def test_read_pdb_garbage_interleaved(tmp_path):
+    """Random non-ATOM garbage lines are skipped; mangled ATOM records
+    raise ValueError (bad float) rather than crash deeper."""
+    rng = np.random.default_rng(0)
+    src = _valid_pdb(tmp_path).read_text().splitlines()
+    garbage = [
+        "".join(chr(rng.integers(32, 127)) for _ in range(rng.integers(0, 90)))
+        for _ in range(20)
+    ]
+    # ensure none accidentally start with ATOM/HETATM/END
+    garbage = [
+        ("#" + g) if g[:6].strip() in ("ATOM", "HETATM", "END", "ENDMDL")
+        else g
+        for g in garbage if g
+    ]
+    mixed, gi = [], 0
+    for line in src:
+        mixed.append(line)
+        if gi < len(garbage):
+            mixed.append(garbage[gi])
+            gi += 1
+    p = tmp_path / "garbage.pdb"
+    p.write_text("\n".join(mixed) + "\n")
+    result = read_pdb(str(p))
+    _check_consistent(result)
+    assert len(result[2]) == 5  # all real residues survived
+
+
+def test_read_pdb_empty_and_headers_only(tmp_path):
+    p = tmp_path / "empty.pdb"
+    p.write_text("")
+    _check_consistent(read_pdb(str(p)))  # 0 residues, consistent shapes
+    p2 = tmp_path / "hdr.pdb"
+    p2.write_text("HEADER    TEST\nREMARK hello\nEND\n")
+    atom37, mask, aatype, _ = read_pdb(str(p2))
+    assert len(aatype) == 0
+
+
+def _valid_cif(tmp_path):
+    n = 4
+    atom37 = np.zeros((n, 37, 3), np.float32)
+    atom37[:, :4] = np.arange(n)[:, None, None] + np.arange(3) * 0.5
+    aatype = np.array([0, 1, 2, 3], np.int32)
+    mask = np.zeros((n, 37), np.float32)
+    mask[:, :4] = 1.0
+    p = tmp_path / "valid.cif"
+    write_mmcif(str(p), atom37, mask, aatype)
+    return p
+
+
+def test_parse_mmcif_truncated(tmp_path):
+    src = _valid_cif(tmp_path).read_text().splitlines()
+    for cut in (3, len(src) // 2, len(src) - 1):
+        p = tmp_path / f"t{cut}.cif"
+        p.write_text("\n".join(src[:cut]) + "\n")
+        try:
+            obj = parse_mmcif(str(p))
+            assert obj.chains  # parsed subset is structurally consistent
+        except ValueError:
+            pass  # "no _atom_site loop" / clean rejection
+
+
+def test_parse_mmcif_malformed_tokens(tmp_path):
+    """Unbalanced quotes and short rows inside the atom loop must not
+    crash the tokenizer."""
+    src = _valid_cif(tmp_path).read_text().splitlines()
+    # inject a short row and an unbalanced-quote row into the loop body
+    out = []
+    injected = False
+    for line in src:
+        out.append(line)
+        if not injected and line.startswith("ATOM"):
+            out.append("ATOM 99 C 'unbalanced")
+            out.append("ATOM 100")
+            injected = True
+    assert injected
+    p = tmp_path / "malformed.cif"
+    p.write_text("\n".join(out) + "\n")
+    try:
+        obj = parse_mmcif(str(p))
+        assert obj.chains
+    except ValueError:
+        pass
+
+
+def test_pdb_roundtrip_preserved_after_robustness_changes(tmp_path):
+    """The happy path stays exact: write -> read roundtrip."""
+    n = 6
+    rng = np.random.default_rng(3)
+    atom37 = rng.normal(size=(n, 37, 3)).astype(np.float32).round(3)
+    aatype = rng.integers(0, 20, n).astype(np.int32)
+    mask = np.zeros((n, 37), np.float32)
+    mask[:, :5] = 1.0
+    p = tmp_path / "rt.pdb"
+    write_pdb(str(p), atom37, aatype, atom37_mask=mask)
+    a2, m2, aa2, _ = read_pdb(str(p))
+    assert (aa2 == aatype).all()
+    np.testing.assert_allclose(a2[:, :5], atom37[:, :5], atol=1e-3)
