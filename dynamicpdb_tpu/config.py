@@ -105,7 +105,19 @@ class ExperimentConfig:
     # production default; configs/parity_debug.yaml keeps the B=1
     # reference-parity point
     batch_size: int = 8
+    # >1: split each batch into this many micro-batches inside the jit
+    # step and average their gradients before ONE optimizer update —
+    # identical updates to the full batch (gradients are linear; proven
+    # in tests/test_train.py::test_grad_accum_matches_full_batch) at
+    # 1/grad_accum the activation memory. batch_size must divide evenly.
+    grad_accum: int = 1
     learning_rate: float = 1e-4
+    # optional warmup/decay schedule (the reference imports
+    # AlphaFoldLRScheduler but trains with CONSTANT lr —
+    # train_DFOLD_dynamics.py:412; these default to that behavior)
+    warmup_steps: int = 0
+    lr_schedule: str = "constant"  # or "cosine"
+    lr_decay_steps: int = 1000000  # cosine horizon when lr_schedule=cosine
     grad_clip_norm: float | None = None  # reference has clip(1.0) commented out
     num_epoch: int = 500000
     log_freq: int = 32

@@ -136,19 +136,50 @@ class Trainer:
         )
         return dfold_loss(out, feats, self.cfg.experiment)
 
-    def loss_fn(self, params, key, raw_batch):
-        """Mean loss over a [B, ...] batch of raw windows."""
-        bsz = raw_batch["atom37"].shape[0]
-        keys = jax.random.split(key, bsz)
+    def _keyed_loss(self, params, keys, raw_batch):
+        """Mean loss over a batch with per-window keys already split."""
         losses, aux = jax.vmap(self._window_loss, in_axes=(None, 0, 0))(
             params, keys, raw_batch
         )
         return jnp.mean(losses), jax.tree_util.tree_map(jnp.mean, aux)
 
+    def loss_fn(self, params, key, raw_batch):
+        """Mean loss over a [B, ...] batch of raw windows."""
+        bsz = raw_batch["atom37"].shape[0]
+        return self._keyed_loss(params, jax.random.split(key, bsz), raw_batch)
+
     def train_step(self, params, opt_state, key, raw_batch):
-        (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
-            params, key, raw_batch
-        )
+        accum = getattr(self.cfg.experiment, "grad_accum", 1)
+        bsz = jax.tree_util.tree_leaves(raw_batch)[0].shape[0]
+        if accum > 1 and bsz % accum == 0:
+            # micro-batch the SAME per-window keys the unaccumulated step
+            # would draw, scan over [accum, B/accum] chunks accumulating
+            # gradients, then ONE optimizer update. Gradients are linear
+            # and chunks are equal-sized, so the update is identical to the
+            # full-batch step at 1/accum the activation memory
+            # (tests/test_train.py::test_grad_accum_matches_full_batch).
+            keys = jax.random.split(key, bsz).reshape(accum, bsz // accum, 2)
+            chunks = jax.tree_util.tree_map(
+                lambda x: x.reshape((accum, bsz // accum) + x.shape[1:]),
+                raw_batch,
+            )
+
+            def body(carry, xs):
+                k, chunk = xs
+                (loss, aux), g = jax.value_and_grad(
+                    self._keyed_loss, has_aux=True
+                )(params, k, chunk)
+                acc = jax.tree_util.tree_map(jnp.add, carry, g)
+                return acc, aux
+
+            zero = jax.tree_util.tree_map(jnp.zeros_like, params)
+            gsum, auxs = jax.lax.scan(body, zero, (keys, chunks))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+            aux = jax.tree_util.tree_map(jnp.mean, auxs)
+        else:
+            (loss, aux), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True
+            )(params, key, raw_batch)
         updates, opt_state = self.optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         aux["grad_norm"] = optax.global_norm(grads)

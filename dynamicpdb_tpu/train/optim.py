@@ -141,7 +141,7 @@ def scale_by_amsgrad(
 
 
 def amsgrad(
-    learning_rate: float,
+    learning_rate,
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
@@ -149,12 +149,38 @@ def amsgrad(
     formulation: str = "optax",
 ) -> optax.GradientTransformation:
     """Adam(amsgrad=True) equivalent; state_dtype=bfloat16 halves the
-    optimizer's HBM traffic (moments stored bf16, math in f32)."""
+    optimizer's HBM traffic (moments stored bf16, math in f32).
+    learning_rate may be a float (constant, the reference behavior) or an
+    optax schedule (step -> lr)."""
+    if callable(learning_rate):
+        scale = optax.scale_by_schedule(lambda step: -learning_rate(step))
+    else:
+        scale = optax.scale(-learning_rate)
     return optax.chain(
         scale_by_amsgrad(b1=b1, b2=b2, eps=eps, state_dtype=state_dtype,
                          formulation=formulation),
-        optax.scale(-learning_rate),
+        scale,
     )
+
+
+def make_lr_schedule(experiment_cfg):
+    """float (constant lr, the reference's exact behavior) or an optax
+    schedule when warmup/cosine knobs are set."""
+    lr = experiment_cfg.learning_rate
+    warmup = getattr(experiment_cfg, "warmup_steps", 0)
+    kind = getattr(experiment_cfg, "lr_schedule", "constant")
+    if kind not in ("constant", "cosine"):
+        raise ValueError(f"unknown lr_schedule: {kind}")
+    if kind == "constant" and not warmup:
+        return lr
+    if kind == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup else lr,
+            peak_value=lr,
+            warmup_steps=warmup,
+            decay_steps=getattr(experiment_cfg, "lr_decay_steps", 1000000),
+        )
+    return optax.linear_schedule(0.0, lr, warmup)
 
 
 def make_optimizer(experiment_cfg) -> optax.GradientTransformation:
@@ -168,7 +194,7 @@ def make_optimizer(experiment_cfg) -> optax.GradientTransformation:
         if state_dtype == jnp.float32:
             state_dtype = None  # f32 path = exact optax.amsgrad sequence
     opt = amsgrad(
-        experiment_cfg.learning_rate, state_dtype=state_dtype,
+        make_lr_schedule(experiment_cfg), state_dtype=state_dtype,
         formulation=getattr(experiment_cfg, "amsgrad_formulation", "optax"),
     )
     if experiment_cfg.grad_clip_norm:

@@ -109,3 +109,72 @@ def test_loss_guard_zeroes_outliers(window):
     }
     total, aux = dfold_loss(model_out, batch, ExperimentConfig())
     assert float(total) == 0.0
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=4 over a B=8 batch must produce the SAME parameter
+    update as the full-batch step: same per-window keys, gradients are
+    linear, chunks are equal-sized. Float reassociation only."""
+    import dataclasses
+
+    window = make_window(n_res=8, frame_time=2, seed=0)
+    key = jax.random.PRNGKey(0)
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.stack([x] * 8)), window
+    )
+
+    tr1 = Trainer(TINY_CFG)
+    params, opt_state = tr1.init_params(key, window)
+    p1, _, aux1 = tr1.compiled_train_step()(params, opt_state, key, batch)
+
+    cfg4 = dataclasses.replace(
+        TINY_CFG, experiment=dataclasses.replace(
+            TINY_CFG.experiment, grad_accum=4
+        ),
+    )
+    tr4 = Trainer(cfg4)
+    p4, o4 = tr4.init_params(key, window)
+    p4, o4, aux4 = tr4.compiled_train_step()(p4, o4, key, batch)
+
+    np.testing.assert_allclose(
+        float(aux1["total_loss"]), float(aux4["total_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(aux1["grad_norm"]), float(aux4["grad_norm"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p4)):
+        # Adam's step-1 rsqrt normalization (g/|g| at count=1) amplifies
+        # gradient-sum reassociation on near-zero-gradient elements;
+        # measured worst case 1 element in 80k at ~1.7% of its update
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_warmup_cosine_schedule_changes_lr():
+    """Opt-in schedule: warmup ramps the step size from ~0; the default
+    config still runs the reference's constant-lr AMSGrad (same opt-state
+    pytree, so checkpoints/ZeRO are unaffected unless opted in)."""
+    import dataclasses
+
+    from dynamicpdb_tpu.train.optim import make_lr_schedule, make_optimizer
+
+    assert make_lr_schedule(TINY_CFG.experiment) == (
+        TINY_CFG.experiment.learning_rate
+    )
+
+    cfg = dataclasses.replace(
+        TINY_CFG.experiment, warmup_steps=10, lr_schedule="cosine",
+        lr_decay_steps=100,
+    )
+    sched = make_lr_schedule(cfg)
+    assert float(sched(0)) == 0.0
+    assert float(sched(10)) == pytest.approx(cfg.learning_rate, rel=1e-6)
+    assert float(sched(100)) < cfg.learning_rate
+
+    # the optimizer builds and steps with the schedule
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.ones((4,))}
+    state = opt.init(params)
+    updates, state = opt.update({"w": jnp.ones((4,))}, state, params)
+    # warmup step 0: lr 0 => zero update
+    np.testing.assert_allclose(np.asarray(updates["w"]), 0.0, atol=1e-12)
