@@ -309,3 +309,41 @@ def test_two_process_training_matches_single_process(tmp_path, mesh_kind):
     # an asymmetric corruption on process 1 must not pass on r0 alone
     np.testing.assert_allclose(r0["param_checksum"], ck1, rtol=1e-5)
     np.testing.assert_allclose(r1["param_checksum"], ck1, rtol=1e-5)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_grad_accum_under_data_parallel_matches_plain_dp():
+    """grad_accum composes with the DP mesh: a 16-window global batch
+    stepped as 2 micro-batches of 8 must reproduce the plain DP step."""
+    import dataclasses
+
+    window = make_window(n_res=8, frame_time=2, seed=0)
+    key = jax.random.PRNGKey(0)
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.stack([x] * 16)), window
+    )
+    mesh = mesh_lib.make_mesh((8,), ("data",))
+
+    tr = Trainer(TINY_CFG, mesh=mesh)
+    p, o = tr.init_params(key, window)
+    p1, _, aux1 = tr.compiled_train_step(o)(
+        p, o, key, mesh_lib.shard_batch(mesh, batch)
+    )
+
+    cfg2 = dataclasses.replace(
+        TINY_CFG, experiment=dataclasses.replace(
+            TINY_CFG.experiment, grad_accum=2
+        ),
+    )
+    tr2 = Trainer(cfg2, mesh=mesh)
+    p2, o2 = tr2.init_params(key, window)
+    p2, _, aux2 = tr2.compiled_train_step(o2)(
+        p2, o2, key, mesh_lib.shard_batch(mesh, batch)
+    )
+
+    np.testing.assert_allclose(
+        float(aux1["total_loss"]), float(aux2["total_loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
