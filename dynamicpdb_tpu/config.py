@@ -117,7 +117,9 @@ class ExperimentConfig:
     # train_DFOLD_dynamics.py:412; these default to that behavior)
     warmup_steps: int = 0
     lr_schedule: str = "constant"  # or "cosine"
-    lr_decay_steps: int = 1000000  # cosine horizon when lr_schedule=cosine
+    # TOTAL schedule length for lr_schedule=cosine (warmup INCLUDED, per
+    # optax.warmup_cosine_decay_schedule); must exceed warmup_steps
+    lr_decay_steps: int = 1000000
     grad_clip_norm: float | None = None  # reference has clip(1.0) commented out
     num_epoch: int = 500000
     log_freq: int = 32

@@ -151,14 +151,24 @@ class Trainer:
     def train_step(self, params, opt_state, key, raw_batch):
         accum = getattr(self.cfg.experiment, "grad_accum", 1)
         bsz = jax.tree_util.tree_leaves(raw_batch)[0].shape[0]
-        if accum > 1 and bsz % accum == 0:
+        if accum > 1 and bsz % accum:
+            # loud error, not a silent full-batch fallback: the user set
+            # accum to FIT memory — degrading quietly would OOM or train
+            # with a different memory profile than configured
+            raise ValueError(
+                f"grad_accum={accum} must divide the batch size ({bsz})"
+            )
+        if accum > 1:
             # micro-batch the SAME per-window keys the unaccumulated step
             # would draw, scan over [accum, B/accum] chunks accumulating
             # gradients, then ONE optimizer update. Gradients are linear
             # and chunks are equal-sized, so the update is identical to the
             # full-batch step at 1/accum the activation memory
             # (tests/test_train.py::test_grad_accum_matches_full_batch).
-            keys = jax.random.split(key, bsz).reshape(accum, bsz // accum, 2)
+            keys = jax.random.split(key, bsz)
+            # layout-agnostic: typed keys split to (bsz,), legacy threefry
+            # to (bsz, 2), rbg to (bsz, 4)
+            keys = keys.reshape((accum, bsz // accum) + keys.shape[1:])
             chunks = jax.tree_util.tree_map(
                 lambda x: x.reshape((accum, bsz // accum) + x.shape[1:]),
                 raw_batch,

@@ -174,11 +174,20 @@ def make_lr_schedule(experiment_cfg):
     if kind == "constant" and not warmup:
         return lr
     if kind == "cosine":
+        decay = getattr(experiment_cfg, "lr_decay_steps", 1000000)
+        # optax's decay_steps is the TOTAL schedule length INCLUDING
+        # warmup (it raises from deep inside cosine_decay_schedule when
+        # decay - warmup <= 0); validate here with a config-level error
+        if decay <= warmup:
+            raise ValueError(
+                f"lr_decay_steps ({decay}) is the TOTAL schedule length "
+                f"and must exceed warmup_steps ({warmup})"
+            )
         return optax.warmup_cosine_decay_schedule(
             init_value=0.0 if warmup else lr,
             peak_value=lr,
             warmup_steps=warmup,
-            decay_steps=getattr(experiment_cfg, "lr_decay_steps", 1000000),
+            decay_steps=decay,
         )
     return optax.linear_schedule(0.0, lr, warmup)
 

@@ -57,9 +57,12 @@ def test_read_pdb_garbage_interleaved(tmp_path):
         "".join(chr(rng.integers(32, 127)) for _ in range(rng.integers(0, 90)))
         for _ in range(20)
     ]
-    # ensure none accidentally start with ATOM/HETATM/END
+    # ensure none accidentally match the parser's own record predicates
+    # (read_pdb uses startswith, so the guard must too — a random line
+    # beginning 'ATOMq' would be parsed as a mangled ATOM record)
     garbage = [
-        ("#" + g) if g[:6].strip() in ("ATOM", "HETATM", "END", "ENDMDL")
+        ("#" + g)
+        if g.startswith(("ATOM", "HETATM", "END"))
         else g
         for g in garbage if g
     ]

@@ -178,3 +178,37 @@ def test_warmup_cosine_schedule_changes_lr():
     updates, state = opt.update({"w": jnp.ones((4,))}, state, params)
     # warmup step 0: lr 0 => zero update
     np.testing.assert_allclose(np.asarray(updates["w"]), 0.0, atol=1e-12)
+
+
+def test_grad_accum_indivisible_raises():
+    """grad_accum must divide the batch size — loud error, not a silent
+    full-batch fallback (the user set accum to FIT memory)."""
+    import dataclasses
+
+    window = make_window(n_res=8, frame_time=2, seed=0)
+    cfg = dataclasses.replace(
+        TINY_CFG, experiment=dataclasses.replace(
+            TINY_CFG.experiment, grad_accum=3
+        ),
+    )
+    tr = Trainer(cfg)
+    key = jax.random.PRNGKey(0)
+    p, o = tr.init_params(key, window)
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.stack([x] * 8)), window
+    )
+    with pytest.raises(ValueError, match="divide"):
+        tr.compiled_train_step()(p, o, key, batch)
+
+
+def test_cosine_decay_must_exceed_warmup():
+    import dataclasses
+
+    from dynamicpdb_tpu.train.optim import make_lr_schedule
+
+    cfg = dataclasses.replace(
+        TINY_CFG.experiment, warmup_steps=1000, lr_schedule="cosine",
+        lr_decay_steps=1000,
+    )
+    with pytest.raises(ValueError, match="TOTAL schedule length"):
+        make_lr_schedule(cfg)
