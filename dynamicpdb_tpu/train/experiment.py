@@ -305,7 +305,14 @@ class Experiment:
         log.info("model parameters: %.1fM", n_params / 1e6)
 
     def _run_eval(self):
-        metrics = self.eval_fn(self.params)
+        # eval must trace under the SAME sequence-parallel state as
+        # training: at long N the unsharded eval forward would OOM exactly
+        # where SP training fits (parallel/sp.py). activated() is a no-op
+        # for meshes without a 'seq' axis.
+        from dynamicpdb_tpu.parallel import sp
+
+        with sp.activated(self.trainer.mesh):
+            metrics = self.eval_fn(self.params)
         if self.metrics_writer is not None:
             self.metrics_writer.write(self.step, {f"eval/{k}": v for k, v in metrics.items()})
         improved = []
