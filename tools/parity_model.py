@@ -227,6 +227,42 @@ for i in range(2):
 t_lin("angle_resnet/Dense_2", "score_model.angle_resnet.linear_out", sd)
 ref_model.load_state_dict(sd)
 
+# ---------------------------------------------------------------------------
+# EXPORTER check against the LIVE reference model: the standalone exporter
+# (train/export_torch.py) must reproduce this proven transfer value-for-value
+# on every live key, cover the reference's full key set (incl. the dead
+# DFOLDv2_Embeder params), and survive the evaluator's strict
+# load_state_dict (eval_DFOLD_dynamics.py:136).
+# ---------------------------------------------------------------------------
+import tempfile  # noqa: E402
+
+from dynamicpdb_tpu.train.export_torch import (  # noqa: E402
+    export_reference_checkpoint,
+    reference_state_dict_from_flax,
+)
+
+_params_now = flax.core.freeze(
+    {"params": flax.traverse_util.unflatten_dict(
+        {tuple(k.split("/")): jnp.asarray(v) for k, v in flat.items()}
+    )}
+)
+exp_sd = reference_state_dict_from_flax(_params_now, my_cfg)
+assert set(exp_sd) == set(ref_model.state_dict()), (
+    "exported key set != reference model key set:\n"
+    f"missing: {sorted(set(ref_model.state_dict()) - set(exp_sd))}\n"
+    f"extra: {sorted(set(exp_sd) - set(ref_model.state_dict()))}"
+)
+for _k, _v in exp_sd.items():
+    if _k.startswith("embedding_layer.") or ".linear_rbf." in _k:
+        continue  # dead params get a deterministic fill, not our values
+    np.testing.assert_array_equal(_v, sd[_k].numpy(), err_msg=_k)
+with tempfile.NamedTemporaryFile(suffix=".pth") as _f:
+    export_reference_checkpoint(_f.name, _params_now, my_cfg, step=1)
+    _payload = torch.load(_f.name, weights_only=False)
+ref_model.load_state_dict(_payload["model"])  # strict — the eval path
+ref_model.load_state_dict(sd)  # restore (exported file zeroes dead params)
+print("exporter: key-set + value parity + strict load OK")
+
 # give the bb updates non-zero weights so the trunk actually moves frames
 with torch.no_grad():
     for b in range(BLOCKS):
