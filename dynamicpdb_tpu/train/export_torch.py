@@ -259,6 +259,12 @@ def main(argv=None):
     params = serialization.msgpack_restore(payload["params"])
 
     cfg = config_lib.Config()
+    if not payload.get("config"):
+        log.warning(
+            "checkpoint has no config snapshot; assuming the default "
+            "flagship ModelConfig — pass model.* overrides if dims differ "
+            "(a mismatch surfaces as a KeyError on the first missing param)"
+        )
     if payload.get("config"):
         saved = json.loads(payload["config"])
 
