@@ -99,7 +99,17 @@ def reference_state_dict_from_flax(
 
     def take(key: str) -> np.ndarray:
         used.add(key)
-        return flat[key]
+        try:
+            return flat[key]
+        except KeyError:
+            raise KeyError(
+                f"param '{key}' not in the checkpoint tree — the model "
+                f"config used for export (num_blocks={ipa.num_blocks}, "
+                f"c_s={ipa.c_s}, c_z={ipa.c_z}) does not match the "
+                f"trained architecture. If the checkpoint lacks a config "
+                f"snapshot, pass model.* overrides on the CLI "
+                f"(e.g. model.ipa.num_blocks=2)."
+            ) from None
 
     def lin(mine: str, ref: str):
         sd[f"{ref}.weight"] = take(f"{mine}/kernel").T
@@ -227,6 +237,16 @@ def export_reference_checkpoint(
     n = sum(v.size for v in sd.values())
     log.info("exported reference checkpoint %s: %.1fM params (step %d)",
              path, n / 1e6, step)
+    # the reference evaluator merges ONLY conf.model from the checkpoint
+    # (eval_DFOLD_dynamics.py:121); its diffuser.r3.coordinate_scaling stays
+    # at the EVAL config's value (yaml default 0.1), so a mismatch silently
+    # desynchronizes the score model from the diffuser on the reference side
+    log.warning(
+        "reference eval config must set diffuser.r3.coordinate_scaling=%s "
+        "to match the exported model.ipa.coordinate_scaling — the "
+        "evaluator merges only conf.model from the checkpoint "
+        "(see docs/MIGRATION.md)", model_cfg.ipa.coordinate_scaling,
+    )
 
 
 def main(argv=None):

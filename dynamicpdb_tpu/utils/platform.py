@@ -31,3 +31,35 @@ def honor_cpu_request() -> bool:
     if m:
         jax.config.update("jax_num_cpu_devices", int(m.group(1)))
     return True
+
+
+def raise_cpu_collective_timeouts(warn_s: int = 120,
+                                  terminate_s: int = 1800) -> None:
+    """Append XLA_FLAGS raising XLA-CPU's collective rendezvous timeouts.
+
+    On the virtual multi-device CPU backend, XLA runs one thread per
+    partition and hard-aborts (rendezvous.cc, default warn 20 s /
+    terminate 40 s) if a collective's participants don't all arrive in
+    time. On a core-starved host the partitions execute effectively
+    serially, so per-partition wall time between collectives can exceed
+    the default envelope even though the program is correct (observed:
+    the flagship-width dryrun's 2-participant 'model'-axis all-gathers,
+    MULTICHIP_r03, reproduced and fixed in round 4). The registered flag
+    names differ from the DebugOptions fields — the warn flag carries an
+    extra "timeout": xla_cpu_collective_call_warn_stuck_TIMEOUT_seconds
+    (setting the DebugOptions spelling via XLA_FLAGS is a fatal
+    "Unknown flag", and jit compiler_options with either spelling is
+    accepted but ignored by the rendezvous — verified empirically).
+
+    MUST run before the first device use in the process: XLA parses the
+    env var once at backend initialization. No-op for flags already
+    present (a user override wins). Harmless when the process ends up on
+    TPU — the flags are CPU-runtime-only."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    for flag, val in (
+        ("xla_cpu_collective_call_warn_stuck_timeout_seconds", warn_s),
+        ("xla_cpu_collective_call_terminate_timeout_seconds", terminate_s),
+    ):
+        if flag not in flags:
+            flags = (flags + f" --{flag}={val}").strip()
+    os.environ["XLA_FLAGS"] = flags

@@ -18,6 +18,13 @@ if "xla_cpu_max_isa" not in flags:
     flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
 os.environ["XLA_FLAGS"] = flags
 
+# On a core-starved host the 8 virtual devices serialize; raise XLA-CPU's
+# collective rendezvous abort (default 20 s warn / 40 s terminate) so slow
+# multi-device tests don't get SIGABRTed mid-collective.
+from dynamicpdb_tpu.utils.platform import raise_cpu_collective_timeouts  # noqa: E402
+
+raise_cpu_collective_timeouts()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
