@@ -28,6 +28,8 @@ def main(argv=None):
                         "weights via train/import_torch")
     parser.add_argument("--config", default=None)
     parser.add_argument("--save-dir", default=None)
+    parser.add_argument("--metrics-json", default=None,
+                        help="also write {rows, means} to this JSON path")
     parser.add_argument("--fast-x0", action="store_true",
                         help="1 forward per rollout frame instead of num_t "
                         "(exact for this x0-predictor architecture; "
@@ -163,6 +165,14 @@ def _run_eval(args, cfg, trainer, params, dataset, key, log):
     print("ave_trans:", means["ave_trans"])
     print("ave_atom_mae:", means["all_atom_mae"])
     print("ave_atom_rmsd:", means["all_atom_rmsd"])
+    if args.metrics_json:
+        import json as _json
+
+        with open(args.metrics_json, "w") as f:
+            _json.dump(
+                {"rows": rows, "means": {k: float(v) for k, v in means.items()}},
+                f, indent=1, default=float,
+            )
 
 
 if __name__ == "__main__":

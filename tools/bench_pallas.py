@@ -24,6 +24,8 @@ def main(argv=None):
     parser.add_argument("--sizes", default="256,512,1024")
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--f", type=int, default=2)
+    parser.add_argument("--blk-q", type=int, default=64)
+    parser.add_argument("--blk-k", type=int, default=128)
     args = parser.parse_args(argv)
 
     import jax
@@ -60,8 +62,8 @@ def main(argv=None):
                    d["head_weights"])
 
         def pallas_fwd(*a):
-            return ipa_attention(*a, c_qk, math.sqrt(1 / 3), 1e5, 64, 128,
-                                 False, True)
+            return ipa_attention(*a, c_qk, math.sqrt(1 / 3), 1e5,
+                                 args.blk_q, args.blk_k, False, True)
 
         def dense_fwd(*a):
             return _dense_reference(*a, c_qk, math.sqrt(1 / 3), 1e5)
