@@ -2,10 +2,26 @@
 # workflow lived in the never-run .github/workflow/ directory).
 #
 #   make lint   syntax/bytecode sweep (+ ruff when installed)
-#   make fast   quick tier: geometry/diffusion/config/analysis (~1-2 min)
-#   make test   full default suite (non-slow)
-#   make slow   long integration tests (overfit, training-dynamics parity)
+#   make fast   quick tier: geometry/diffusion/config/analysis
+#   make test   default tier (non-slow, non-heavy)
+#   make heavy  compile/oracle-heavy tier (torch parity, omegafold full
+#               model, multi-device, sampler/train compiles)
+#   make slow   long integration tests (overfit, 2-process training,
+#               training-dynamics parity)
 #   make check  lint + fast (the inner-loop gate)
+#
+# Measured on a 1-CORE host with the committed AVX2-pinned compile cache
+# warm (2026-08-18):
+#   fast tier            ~3 min    (139 tests)
+#   test tier (default)  4:47      (210 tests in one session; first results
+#                                   within seconds — the re-tier goal)
+#   heavy tier           ~15 min   (per-file: parallel ~500 s,
+#                                   omegafold_model 132 s, sampler 102 s,
+#                                   train 89 s, pad_invariance 73 s,
+#                                   optim 66 s, pallas_ipa 55 s,
+#                                   model_parity 48 s)
+# On a multi-core host the heavy tier shrinks several-fold (the cost is
+# serialized XLA compiles + torch CPU oracles).
 
 PY ?= python
 
@@ -18,7 +34,7 @@ FAST_TESTS = tests/test_rigid.py tests/test_rigid_golden.py \
              tests/test_mmcif.py tests/test_preprocess.py \
              tests/test_structure_checks.py
 
-.PHONY: lint fast test slow check
+.PHONY: lint fast test heavy slow check
 
 lint:
 	$(PY) -m compileall -q dynamicpdb_tpu tools tests bench.py __graft_entry__.py
@@ -32,7 +48,10 @@ fast:
 	$(PY) -m pytest $(FAST_TESTS) -q
 
 test:
-	$(PY) -m pytest tests/ -q -m "not slow"
+	$(PY) -m pytest tests/ -q -m "not slow and not heavy"
+
+heavy:
+	$(PY) -m pytest tests/ -q -m "heavy and not slow"
 
 slow:
 	$(PY) -m pytest tests/ -q -m slow

@@ -7,6 +7,9 @@ import subprocess
 import sys
 
 import pytest
+# compile/oracle-heavy on a 1-core host (measured, Makefile header):
+# run via `make heavy`; excluded from the default `make test` tier
+pytestmark = pytest.mark.heavy
 
 
 @pytest.mark.skipif(

@@ -6,6 +6,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 import pytest
+# compile/oracle-heavy on a 1-core host (measured, Makefile header):
+# run via `make heavy`; excluded from the default `make test` tier
+pytestmark = pytest.mark.heavy
 
 from dynamicpdb_tpu.train import optim
 

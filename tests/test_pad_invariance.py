@@ -10,6 +10,11 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+import pytest
+
+# compile/oracle-heavy on a 1-core host (measured, Makefile header):
+# run via `make heavy`; excluded from the default `make test` tier
+pytestmark = pytest.mark.heavy
 
 from dynamicpdb_tpu.analysis.metrics import eval_window_metrics
 from dynamicpdb_tpu.config import ExperimentConfig

@@ -4,6 +4,9 @@ import math
 
 import numpy as np
 import pytest
+# compile/oracle-heavy on a 1-core host (measured, Makefile header):
+# run via `make heavy`; excluded from the default `make test` tier
+pytestmark = pytest.mark.heavy
 
 import jax
 import jax.numpy as jnp

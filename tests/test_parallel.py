@@ -1,6 +1,9 @@
 """Data-parallel training over a virtual 8-device CPU mesh."""
 import numpy as np
 import pytest
+# compile/oracle-heavy on a 1-core host (measured, Makefile header):
+# run via `make heavy`; excluded from the default `make test` tier
+pytestmark = pytest.mark.heavy
 
 import jax
 import jax.numpy as jnp
