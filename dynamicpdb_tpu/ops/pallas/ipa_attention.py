@@ -194,6 +194,12 @@ def fused_ipa_attention(
             pltpu.VMEM((blk_q, Pv * 3), jnp.float32),
             pltpu.VMEM((blk_q, Dz), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # the [blk_q, blk_k, Dz] pair tile dominates; at block sizes
+            # beyond the 64x128 default the double-buffered inputs exceed
+            # the 16M default scoped-vmem budget
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ) if not interpret else None,
         interpret=interpret,
     )(qf, kf, vf, qpf, kpf, vpf, bias_f, pair_z, maskf, maskf, hw)
 

@@ -29,11 +29,22 @@ deltas stay O(1) until the exactness wavefront reaches the tail: measured
 deltas over 7 sweeps at num_t=8 were 11.2, 3.5, 1.8, 2.0, 0.2, 2.0,
 0.015 — M ~= T-1 in practice, i.e. as many batched sweeps as the
 sequential sampler has steps. Since each sweep also costs ~B=T-1 batch
-compute, Picard here trades latency 1:1 at higher FLOPs. Kept as an
-experimental sampler + documented negative result (the technique pays off
-only for samplers whose per-step map is strongly contractive, e.g.
-probability-flow/ODE-style or few-step-distilled samplers — a future
-direction if an ODE sampler lands).
+compute, Picard here trades latency 1:1 at higher FLOPs.
+
+Round-4 num_t sweep (VERDICT r3 item 6; tools/bench_picard_sweep.py,
+flagship N=256 on v5e, tol=1e-3): the hoped-for crossover at finer
+discretizations does NOT exist — n_sweeps hit the max_sweeps=T-1
+wavefront bound at EVERY num_t in {10, 25, 50, 100} (sweeps/T = 1.00),
+with wall-clock speedup 1.04x at T=10 decaying to 0.43x at T=50: the
+per-step noise injection z_k keeps sweep deltas O(noise) until the exact
+wavefront arrives regardless of dt. Doubly so because the sequential
+sampler is nearly free here anyway: the trunk forward is loop-invariant
+(x0-predictor) and XLA hoists it out of the scan (docs/DESIGN.md
+"fast_x0"), so seq wall time is flat in T (~30 ms) while each Picard
+sweep pays T-1 REAL batched forwards. Kept as an exactness-tested
+experimental sampler + documented negative result (the technique pays
+off only for strongly-contractive per-step maps, e.g. probability-flow/
+ODE or few-step-distilled samplers — a future direction if one lands).
 """
 from __future__ import annotations
 

@@ -133,7 +133,8 @@ def main(argv=None):
         jnp.asarray(atom37[0]), jnp.asarray(w["atom37_mask"]),
         jnp.asarray(w["aatype"]), jnp.asarray(w["residue_index"]),
     )
-    viol = {k: float(np.asarray(v)) for k, v in vm.items()}
+    viol = {k: float(v) for k, v in vm.items()
+            if k.startswith("violations_")}
     ss_pred = assign_secondary_structure(atom37[0], w["atom37_mask"])
     helix_frac = float(np.mean(ss_pred == "H"))
     sheet_frac = float(np.mean(ss_pred == "E"))
