@@ -66,14 +66,19 @@ class IPAConfig:
     coordinate_scaling: float = 1.0  # run_train.sh:24 (yaml default 0.1)
     temporal: bool = False  # run_train.sh:23
     temporal_position_max_len: int = 40
-    # fused Pallas flash-IPA (ops/pallas/ipa_attention.py). Honest v5e
-    # measurement (docs/DESIGN.md table): XLA's dense decomposed path is
-    # FASTER at every practical N (<=2048) on this single-core chip — the
-    # kernel's value is O(blk) attention memory for very long sequences
-    # where the dense [F,H,N,N] tensors pressure HBM. Default off; "auto"
-    # enables it on TPU at N >= pallas_min_n; True forces it.
+    # fused Pallas flash-IPA (ops/pallas/ipa_attention.py) — MEMORY-ONLY
+    # FALLBACK, not a performance path. Honest v5e measurements
+    # (docs/DESIGN.md): the dense decomposed path is faster at every N
+    # that fits HBM (incl. 4096), and a round-4 block-size sweep showed
+    # the kernel's cost is tiling-independent (13.2 ms at both 64x128 and
+    # 128x256 tiles, N=1024 fwd) — it is bound by the per-row pair-term
+    # contraction Mosaic cannot place on the MXU, not by grid overhead.
+    # The production long-N path is residue-axis sequence parallelism
+    # (parallel/sp.py) over the DENSE formulation. "auto" enables the
+    # kernel only beyond any measured dense-fits regime (O(blk) attention
+    # memory where dense [F,H,N,N] tensors exceed HBM); True forces it.
     use_pallas_attention: bool | str = False
-    pallas_min_n: int = 3072
+    pallas_min_n: int = 8192
     pallas_interpret: bool = False  # interpreter mode (CPU testing)
 
 

@@ -188,10 +188,11 @@ class InvariantPointAttention(nn.Module):
                 else use_pallas.lower() in ("1", "true", "yes", "on")
             )
         if use_pallas == "auto":
-            # crossover: below pallas_min_n the decomposed jnp path is
-            # already MXU-bound; above it the kernel's O(blk) VMEM tiling
-            # wins (bench table in docs/DESIGN.md). Pallas needs a real TPU
-            # (or interpret mode).
+            # memory-only fallback: the kernel loses to the dense path at
+            # every N that fits HBM (tiling-independent — docs/DESIGN.md
+            # round-4 closure), so "auto" engages it only beyond
+            # pallas_min_n where the dense [F,H,N,N] tensors cannot fit
+            # at all. Pallas needs a real TPU (or interpret mode).
             import jax
 
             on_tpu = jax.default_backend() == "tpu" or c.pallas_interpret
