@@ -68,6 +68,8 @@ def _flops_of(compiled) -> float | None:
 
 
 def main():
+    import os
+
     import numpy as np
 
     import jax
@@ -75,7 +77,16 @@ def main():
 
     from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
 
-    enable_persistent_cache()
+    # repo-committed TPU cache: entries are keyed on device kind + jax
+    # version + program, so a fresh driver host with the same image and a
+    # v5e chip loads the two train-step executables + the rollout instead
+    # of paying ~2-4 min of cold XLA compiles (BENCH_r03 measured 226.6 s
+    # for the first compile alone under host contention). Regenerated at
+    # the end of every round; harmless elsewhere (keys simply miss).
+    enable_persistent_cache(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".cache", "jax_tpu")
+    )
 
     from dynamicpdb_tpu.config import Config, ModelConfig
     from dynamicpdb_tpu.data.featurize import eval_init_window, featurize_window

@@ -95,13 +95,28 @@ def main(argv=None):
     os.makedirs(cif_dir, exist_ok=True)
 
     # --- 1. realistic structure + trajectory -------------------------------
-    t0 = time.time()
-    w = make_realistic_window(
-        n_res=args.n_res, frame_time=args.n_frames, seed=args.seed
+    # the generator (self-avoidance + rotamer packing) costs minutes on a
+    # 1-core host; cache the raw window so drill re-runs iterate on the
+    # PIPELINE, not the generator
+    cache = os.path.join(
+        args.workdir,
+        f"gen_{args.n_res}x{args.n_frames}_s{args.seed}.pkl",
     )
-    gen_s = time.time() - t0
-    log.info("generated %d-res/%d-frame realistic trajectory in %.1fs (ss=%s)",
-             args.n_res, args.n_frames, gen_s, w["ss"])
+    t0 = time.time()
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            w = pickle.load(f)
+        log.info("loaded cached realistic trajectory %s (ss=%s)",
+                 cache, w["ss"])
+    else:
+        w = make_realistic_window(
+            n_res=args.n_res, frame_time=args.n_frames, seed=args.seed
+        )
+        with open(cache, "wb") as f:
+            pickle.dump(w, f)
+        log.info("generated %d-res/%d-frame realistic trajectory in %.1fs "
+                 "(ss=%s)", args.n_res, args.n_frames, time.time() - t0,
+                 w["ss"])
 
     # --- 2. per-frame mmCIF round trip (parser in the data path) -----------
     parsed_frames, parsed_masks = [], []
@@ -152,9 +167,7 @@ def main(argv=None):
     np.savez_compressed(
         npz,
         all_atom_positions=atom37,
-        all_atom_mask=np.broadcast_to(
-            w["atom37_mask"][None], atom37.shape[:1] + w["atom37_mask"].shape
-        ),
+        all_atom_mask=w["atom37_mask"],  # frame-shared [N, 37]
         aatype=np.eye(21, dtype=np.float32)[w["aatype"]],
         residue_index=w["residue_index"],
     )
