@@ -248,6 +248,25 @@ def main():
     print(f"rollout frames/sec: best={fps:.3f} median={fps_med:.3f}",
           file=sys.stderr)
 
+    # --- north-star regime verbatim: ONE 1000-frame rollout ---------------
+    # BASELINE.json: "1000-frame rollouts at >= 20 frames/sec". The 64-frame
+    # loop above is the repeatable sampler; this single long run removes the
+    # extrapolation caveat (fixed dispatch+fetch cost amortizes over 1000
+    # frames instead of 64, so this is the number a production user sees).
+    roll_1k = jax.jit(
+        lambda p, k: rollout(
+            k, model, p, diffuser, feats,
+            n_steps=1000, num_t=NUM_T, noise_scale=0.1,
+        )
+    )
+    out = roll_1k(params, jax.random.PRNGKey(7))
+    np.asarray(out[1][-1])  # compile + warm-up; fetch = sync
+    t0 = time.time()
+    out = roll_1k(params, jax.random.PRNGKey(8))
+    np.asarray(out[1][-1])
+    fps_1k = 1000 / (time.time() - t0)
+    print(f"1000-frame rollout: {fps_1k:.1f} frames/sec", file=sys.stderr)
+
     # --- fast_x0 serving path: identical trajectories, 1 forward/frame ----
     # (exact for this x0-predictor architecture; equality regression-tested
     # in tests/test_sampler.py::test_fast_x0_rollout_identical)
@@ -278,6 +297,7 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / 20.0, 3),
                 "rollout_fps_median": round(fps_med, 3),
+                "rollout_fps_1000frames": round(fps_1k, 3),
                 "rollout_fps_fast_x0": round(fps_fast, 3),
                 "train_windows_per_sec_b8": round(wps_b8, 3),
                 "train_windows_per_sec_b8_best": round(wps_b8_best, 3),
