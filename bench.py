@@ -292,12 +292,16 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "rollout_frames_per_sec_256res_numt10",
-                "value": round(fps, 3),
+                # primary value = the 1000-frame run: the north-star regime
+                # verbatim (BASELINE.json), and the least dispatch-noisy
+                # rollout figure (fixed host cost amortizes over 1000
+                # frames; the 64-frame loop below under-reports by ~15%)
+                "metric": "rollout_frames_per_sec_256res_numt10_1000frames",
+                "value": round(fps_1k, 3),
                 "unit": "frames/sec",
-                "vs_baseline": round(fps / 20.0, 3),
-                "rollout_fps_median": round(fps_med, 3),
-                "rollout_fps_1000frames": round(fps_1k, 3),
+                "vs_baseline": round(fps_1k / 20.0, 3),
+                "rollout_fps_64f_best": round(fps, 3),
+                "rollout_fps_64f_median": round(fps_med, 3),
                 "rollout_fps_fast_x0": round(fps_fast, 3),
                 "train_windows_per_sec_b8": round(wps_b8, 3),
                 "train_windows_per_sec_b8_best": round(wps_b8_best, 3),
