@@ -148,6 +148,34 @@ def make_sampler(module, diffuser, *, num_t=10, min_t=0.01, noise_scale=1.0,
     return fn
 
 
+def refresh_window_conditioning(pred_rigids_t7, pred_angles, dt_ps):
+    """Re-derive the slidable conditioning channels from a window of
+    PREDICTED frames, for autoregressive rollouts past the data horizon.
+
+    vel[f] = (ca[f] - ca[f-1]) / dt_ps — the backward finite difference the
+    dynamicPDB release defines velocities by (1 ps frame spacing;
+    data/realistic.py uses the identical convention), with the first frame
+    backfilled. ca is the rigid translation: the AF2 backbone frame origin
+    IS the C-alpha. Because the score trunk zeroes updates on reference
+    frames, pred[0..F-2] equal the clean conditioning frames, so at F=2
+    the derived vel is exactly the cross-window difference
+    (pred_target - conditioning)/dt. The window then slides like the
+    rigids: cat(x[1:], x[-1:]) (train:996 slide semantics).
+
+    Returns (vel [F, N, 3], angles [F, N, 7, 2]) for the NEXT window.
+    Forces are NOT re-derivable at inference (no force field); callers
+    keep that channel frozen.
+    """
+    ca = pred_rigids_t7[..., 4:]
+    vel = (ca[1:] - ca[:-1]) / dt_ps
+    vel = jnp.concatenate([vel[:1], vel], axis=0)  # backfill frame 0
+    next_vel = jnp.concatenate([vel[1:], vel[-1:]], axis=0)
+    next_angles = jnp.concatenate(
+        [pred_angles[1:], pred_angles[-1:]], axis=0
+    )
+    return next_vel, next_angles
+
+
 def rollout(
     key,
     module,
@@ -161,16 +189,25 @@ def rollout(
     noise_scale: float = 1.0,
     center: bool = True,
     fast_x0: bool = False,
+    refresh_conditioning: bool = False,
+    dt_ps: float = 1.0,
 ):
     """Autoregressive long-horizon extension (eval_extension, train:931-1000)
     as ONE jitted double-scan: each outer step denoises a fresh window, then
     slides it with rigids_0 <- cat(pred[1:], pred[-1:]).
 
-    Faithful-to-reference caveat: only the rigid window slides. The
+    Faithful-to-reference default: only the rigid window slides. The
     force/velocity/torsion-angle conditioning channels in ``init_feats``
     stay frozen at the INITIAL window for the whole rollout (the reference
     never re-derives them either, train:982-996), so for long horizons
     those channels go progressively stale relative to the predicted frames.
+    ``refresh_conditioning=True`` (beyond-reference, opt-in) re-derives the
+    velocity channel from the predicted rigid translations (backward
+    finite difference over ``dt_ps``) and slides the torsion-angle window
+    with the model's own predicted angles — see
+    refresh_window_conditioning. Forces stay frozen either way (not
+    re-derivable without a force field). Measured effect:
+    docs/artifacts/rollout_refresh.json.
 
     fast_x0=True exploits an exact algebraic property of THIS architecture:
     the network is an x0-predictor conditioned on the clean reference
@@ -191,10 +228,13 @@ def rollout(
     F, N = init_feats["res_mask"].shape
 
     def outer(carry, _):
-        rigids_0, key = carry
+        rigids_0, vel, angles_sc, key = carry
         key, k_ref, k_rev = jax.random.split(key, 3)
         feats = dict(init_feats)
         feats["rigids_0"] = rigids_0
+        if refresh_conditioning:
+            feats["vel"] = vel
+            feats["torsion_angles_sin_cos"] = angles_sc
         if fast_x0:
             # rigids_t only feeds the score conversion; identity is fine
             feats["rigids_t"] = jnp.broadcast_to(
@@ -211,10 +251,25 @@ def rollout(
             )
         pred = out["rigids"]
         next_rigids_0 = jnp.concatenate([pred[1:], pred[-1:]], axis=0)
-        return (next_rigids_0, key), (out["atom37"][-1], pred[-1])
+        if refresh_conditioning:
+            next_vel, next_angles = refresh_window_conditioning(
+                pred, out["angles"], dt_ps
+            )
+        else:
+            next_vel, next_angles = vel, angles_sc
+        return (
+            (next_rigids_0, next_vel, next_angles, key),
+            (out["atom37"][-1], pred[-1]),
+        )
 
-    (_, _), (atom_traj, rigid_traj) = jax.lax.scan(
-        outer, (init_feats["rigids_0"], key), None, length=n_steps
+    carry0 = (
+        init_feats["rigids_0"],
+        init_feats["vel"],
+        init_feats["torsion_angles_sin_cos"],
+        key,
+    )
+    (_, _, _, _), (atom_traj, rigid_traj) = jax.lax.scan(
+        outer, carry0, None, length=n_steps
     )
     return atom_traj, rigid_traj
 

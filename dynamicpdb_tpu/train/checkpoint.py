@@ -6,19 +6,83 @@ state + step/epoch + config snapshot, all restored on resume (the reference
 writes optimizer state but its warm start never restores it,
 train_DFOLD_dynamics.py:468-499). Atomic write (tmp + rename) so a preempted
 job never leaves a truncated checkpoint.
+
+Multi-process (real `jax.distributed` cluster) semantics:
+  * save: leaves that span non-addressable devices (ZeRO moments over
+    'data', TP params over 'model' across hosts) are all-gathered to every
+    process first (multihost_utils.process_allgather — an XLA collective
+    over ICI/DCN, not a host-side pickle of local shards); then ONLY
+    process 0 writes the file. Every process must call save() — the
+    gather is collective.
+  * restore: each restored host array is re-placed with the TEMPLATE
+    leaf's sharding (jax.make_array_from_callback slices the full value
+    per device), so ZeRO/TP placement survives a resume identically on
+    one process or many. Templates without a sharding (plain numpy) come
+    back as host arrays, as before.
+Exercised end-to-end by the 2-process cluster test (tests/mp_worker.py
+round-trips the sharded state between init and the verified train step).
 """
 from __future__ import annotations
 
 import json
 import os
 
+import jax
+import numpy as np
 from flax import serialization
 
 from dynamicpdb_tpu.config import to_dict
 
 
+def _fetchable(tree):
+    """All-gather any leaf that spans non-addressable devices (collective:
+    every process must call save()), leaving fetchable leaves untouched.
+
+    ONE jitted identity with fully-replicated out_shardings covers the whole
+    non-addressable subset — a single XLA program whose all-gathers ride
+    ICI/DCN together, instead of one compile + collective per leaf
+    (per-leaf multihost_utils.process_allgather costs ~100 tiny compiles on
+    a real ZeRO state and blew the 2-process test budget)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    needs = [
+        x for x in jax.tree_util.tree_leaves(tree)
+        if isinstance(x, jax.Array) and not x.is_fully_addressable
+    ]
+    if not needs:
+        return tree
+    # group by mesh (one jit per mesh; in practice there is one)
+    by_mesh: dict[object, list] = {}
+    gathered: dict[int, object] = {}
+    for x in needs:
+        mesh = getattr(x.sharding, "mesh", None)
+        if mesh is None:  # non-NamedSharding exotic: per-leaf fallback
+            from jax.experimental import multihost_utils
+
+            gathered[id(x)] = np.asarray(
+                multihost_utils.process_allgather(x, tiled=True)
+            )
+        else:
+            by_mesh.setdefault(mesh, []).append(x)
+    for mesh, xs in by_mesh.items():
+        rep = NamedSharding(mesh, PartitionSpec())
+        out = jax.jit(
+            lambda t: t, out_shardings=tuple(rep for _ in xs)
+        )(tuple(xs))
+        for x, g in zip(xs, out):
+            # fully-replicated arrays fetch fine even when their device set
+            # spans processes
+            gathered[id(x)] = np.asarray(g)
+    return jax.tree_util.tree_map(
+        lambda x: gathered.get(id(x), x)
+        if isinstance(x, jax.Array) else x,
+        tree,
+    )
+
+
 def save(path: str, params, opt_state, step: int, epoch: int, cfg=None):
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    params = _fetchable(params)
+    opt_state = _fetchable(opt_state)
     payload = {
         "params": serialization.to_bytes(params),
         "opt_state": serialization.to_bytes(opt_state),
@@ -26,6 +90,9 @@ def save(path: str, params, opt_state, step: int, epoch: int, cfg=None):
         "epoch": epoch,
         "config": json.dumps(to_dict(cfg)) if cfg is not None else None,
     }
+    if jax.process_index() != 0:
+        return  # gathered above; one writer
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     blob = serialization.msgpack_serialize(payload)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -33,14 +100,33 @@ def save(path: str, params, opt_state, step: int, epoch: int, cfg=None):
     os.replace(tmp, path)
 
 
+def _place_like(template, restored):
+    """Re-place restored host leaves with the template's sharding (identity
+    for templates that aren't placed jax.Arrays)."""
+
+    def place(t, v):
+        if not isinstance(t, jax.Array):
+            return v
+        val = np.asarray(v)
+        return jax.make_array_from_callback(
+            val.shape, t.sharding, lambda idx: val[idx]
+        )
+
+    return jax.tree_util.tree_map(place, template, restored)
+
+
 def restore(path: str, params_template, opt_state_template=None) -> dict:
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
-    params = serialization.from_bytes(params_template, payload["params"])
+    params = _place_like(
+        params_template,
+        serialization.from_bytes(params_template, payload["params"]),
+    )
     opt_state = None
     if opt_state_template is not None and payload.get("opt_state"):
-        opt_state = serialization.from_bytes(
-            opt_state_template, payload["opt_state"]
+        opt_state = _place_like(
+            opt_state_template,
+            serialization.from_bytes(opt_state_template, payload["opt_state"]),
         )
     return {
         "params": params,

