@@ -37,6 +37,15 @@ def main(argv=None):
     parser.add_argument("--extension", type=int, default=0,
                         help="if >0, run an N-step autoregressive rollout "
                         "per protein instead of single-window eval")
+    parser.add_argument("--refresh-conditioning", action="store_true",
+                        help="extension only: re-derive velocities from "
+                        "predicted frames and slide the torsion window "
+                        "with predicted angles instead of freezing the "
+                        "initial window's channels (sampling/reverse."
+                        "refresh_window_conditioning)")
+    parser.add_argument("--dt-ps", type=float, default=1.0,
+                        help="frame spacing (ps) for the velocity "
+                        "re-derivation (release data: 1 ps x stride)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -137,6 +146,8 @@ def _run_eval(args, cfg, trainer, params, dataset, key, log):
                     n_steps=args.extension, num_t=cfg.data.num_t,
                     noise_scale=cfg.experiment.noise_scale,
                     fast_x0=args.fast_x0,
+                    refresh_conditioning=args.refresh_conditioning,
+                    dt_ps=args.dt_ps,
                 )
             )(params, key, feats)
             out = f"{args.save_dir or '.'}/{name}_extension.npz"
