@@ -206,8 +206,18 @@ def rollout(
     finite difference over ``dt_ps``) and slides the torsion-angle window
     with the model's own predicted angles — see
     refresh_window_conditioning. Forces stay frozen either way (not
-    re-derivable without a force field). Measured effect:
-    docs/artifacts/rollout_refresh.json.
+    re-derivable without a force field).
+
+    MEASURED NEGATIVE on realistic synthetic dynamics
+    (docs/artifacts/rollout_refresh.json; tools/rollout_refresh_experiment
+    .py): 32-frame horizon median Ca RMSD — oracle GT conditioning 3.74 A
+    < frozen 4.12 < refresh 7.13. Root cause: the training windows carry
+    the TARGET frame's true velocity (the reference's data layout,
+    Dfold_data_loader_dynamic.py:192-198), so the net learns to read
+    where the target moved; a self-derived velocity cannot supply that
+    signal and additionally feeds back prediction error, while frozen
+    channels stay in-distribution. Hence frozen is the default; the flag
+    remains for A/Bs on real MD data.
 
     fast_x0=True exploits an exact algebraic property of THIS architecture:
     the network is an x0-predictor conditioned on the clean reference

@@ -126,15 +126,50 @@ def main(argv=None):
     feats = eval_init_window(jax.random.PRNGKey(1), feats, trainer.diffuser)
     gt_ca = traj["atom37"][s + 1 : s + 1 + args.horizon, :, 1]  # [H, N, 3]
 
-    results = {}
-    for mode, refresh in (("frozen", False), ("refresh", True)):
-        atom_traj, _ = jax.jit(
-            lambda p, k, r=refresh: rollout(
-                k, trainer.model, p, trainer.diffuser, feats,
-                n_steps=args.horizon, num_t=10, noise_scale=0.1,
-                refresh_conditioning=r, dt_ps=1.0,
+    def gt_conditioning_rollout():
+        """Oracle control: rigids slide autoregressively, but the
+        force/vel/torsion channels come from the TRUE window at each step
+        (incl. the target frame's true velocity — the channel the training
+        windows expose, Dfold_data_loader_dynamic.py:192-198). Isolates
+        conditioning-channel quality from rigid-feedback error."""
+        from dynamicpdb_tpu.sampling.reverse import reverse_sample
+
+        sampler = jax.jit(
+            lambda p, k, f: reverse_sample(
+                k, trainer.model, p, trainer.diffuser, f,
+                num_t=10, noise_scale=0.1,
             )
-        )(params, jax.random.PRNGKey(2))
+        )
+        rigids_0 = feats["rigids_0"]
+        key_r = jax.random.PRNGKey(2)
+        out_frames = []
+        for h in range(args.horizon):
+            wgt = featurize_window(
+                jax.tree_util.tree_map(jnp.asarray, window_at(s + h))
+            )
+            f = dict(wgt, rigids_0=rigids_0)
+            key_r, k1, k2 = jax.random.split(key_r, 3)
+            f = eval_init_window(k1, f, trainer.diffuser)
+            out = sampler(params, k2, f)
+            pred = out["rigids"]
+            out_frames.append(np.asarray(out["atom37"][-1]))
+            rigids_0 = jnp.concatenate([pred[1:], pred[-1:]], axis=0)
+        return np.stack(out_frames)
+
+    results = {}
+    for mode, refresh in (
+        ("frozen", False), ("refresh", True), ("gt_conditioning", None)
+    ):
+        if mode == "gt_conditioning":
+            atom_traj = gt_conditioning_rollout()
+        else:
+            atom_traj, _ = jax.jit(
+                lambda p, k, r=refresh: rollout(
+                    k, trainer.model, p, trainer.diffuser, feats,
+                    n_steps=args.horizon, num_t=10, noise_scale=0.1,
+                    refresh_conditioning=r, dt_ps=1.0,
+                )
+            )(params, jax.random.PRNGKey(2))
         pred_ca = np.asarray(atom_traj[:, :, 1])  # [H, N, 3]
         plain = np.sqrt(
             ((pred_ca - gt_ca) ** 2).sum(-1).mean(-1)
