@@ -79,10 +79,15 @@ def main():
 
     # repo-committed TPU cache: entries are keyed on device kind + jax
     # version + program, so a fresh driver host with the same image and a
-    # v5e chip loads the two train-step executables + the rollout instead
-    # of paying ~2-4 min of cold XLA compiles (BENCH_r03 measured 226.6 s
-    # for the first compile alone under host contention). Regenerated at
-    # the end of every round; harmless elsewhere (keys simply miss).
+    # v5e chip loads the two train-step executables instead of paying the
+    # cold XLA compile (measured: 84 s cold vs 71 s warm-entry incl. ~26 s
+    # uncacheable tracing; BENCH_r03's 226.6 s was the same compile under
+    # host contention). Only the train-step entries are committed (38+66
+    # MB zstd — already-compressed executables); the three ~80 MB rollout
+    # executables are NOT (gitignored): their compiles are off the
+    # compile_s metric and not worth the history weight. Entries are
+    # regenerated whenever the traced program changes; stale keys simply
+    # miss elsewhere.
     enable_persistent_cache(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".cache", "jax_tpu")
