@@ -12,10 +12,11 @@
 #
 # Measured on a 1-CORE host with the committed AVX2-pinned compile cache
 # warm (2026-08-18):
-#   fast tier            ~3 min    (139 tests)
+#   fast tier            ~3 min    (139 tests; re-measured r4: 2:13)
 #   test tier (default)  4:47      (210 tests in one session; first results
-#                                   within seconds — the re-tier goal)
-#   heavy tier           ~15 min   (per-file: parallel ~500 s,
+#                                   within seconds — the re-tier goal;
+#                                   re-measured r4: 7:45 under contention)
+#   heavy tier           ~15 min   (re-measured r4: 18:46; per-file: parallel ~500 s,
 #                                   omegafold_model 132 s, sampler 102 s,
 #                                   train 89 s, pad_invariance 73 s,
 #                                   optim 66 s, pallas_ipa 55 s,
