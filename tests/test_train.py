@@ -215,3 +215,45 @@ def test_cosine_decay_must_exceed_warmup():
     )
     with pytest.raises(ValueError, match="TOTAL schedule length"):
         make_lr_schedule(cfg)
+
+
+def test_eval_cli_extension_with_refresh(window, tmp_path):
+    """CLI-level coverage for `--extension` + `--refresh-conditioning`
+    (+ --fast-x0): train-checkpoint -> extension rollout npz with the
+    refresh path actually traced. The checkpoint's saved config snapshot
+    must reconstruct the tiny model inside eval_cli (the eval:121 merge)."""
+    import csv
+
+    from dynamicpdb_tpu import eval_cli
+    from dynamicpdb_tpu.data.synthetic import make_trajectory_npz
+
+    def data_iter(epoch):
+        batch = jax.tree_util.tree_map(lambda x: np.stack([x] * 2), window)
+        yield batch
+
+    exp = Experiment(TINY_CFG, data_iter, window)
+    exp.train(num_epochs=1)
+    ckpt = str(tmp_path / "tiny.ckpt")
+    exp.save_checkpoint(ckpt)
+
+    n = window["aatype"].shape[0]
+    make_trajectory_npz(str(tmp_path / "traj.npz"), n_res=n, n_frames=6)
+    with open(tmp_path / "m.csv", "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["name", "atlas_npz", "seq_len"])
+        w.writerow(["p0", str(tmp_path / "traj.npz"), n])
+
+    eval_cli.main([
+        "--ckpt", ckpt,
+        "--extension", "2", "--refresh-conditioning", "--dt-ps", "2.0",
+        "--fast-x0",
+        "--save-dir", str(tmp_path),
+        f"data.test_csv_path={tmp_path / 'm.csv'}",
+        f"data.csv_path={tmp_path / 'm.csv'}",
+        f"data.filtering.max_len={n}",
+        "data.num_t=2",
+    ])
+    out = np.load(tmp_path / "p0_extension.npz")
+    assert out["atom_traj"].shape == (2, n, 37, 3)
+    assert out["rigid_traj"].shape == (2, n, 7)
+    assert np.isfinite(out["atom_traj"]).all()
