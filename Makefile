@@ -7,7 +7,7 @@
 #   make heavy  compile/oracle-heavy tier (torch parity, omegafold full
 #               model, multi-device, sampler/train compiles)
 #   make slow   long integration tests (overfit, 2-process training,
-#               training-dynamics parity)
+#               training-dynamics parity); 14:14 on 1 core (measured r4)
 #   make check  lint + fast (the inner-loop gate)
 #
 # Measured on a 1-CORE host with the committed AVX2-pinned compile cache
