@@ -238,7 +238,13 @@ def rollout(
     F, N = init_feats["res_mask"].shape
 
     def outer(carry, _):
-        rigids_0, vel, angles_sc, key = carry
+        # the carry holds vel/angles only on the refresh path; the frozen
+        # default carries exactly what it did before the flag existed (no
+        # dead loop state, no new feature-key requirements)
+        if refresh_conditioning:
+            rigids_0, vel, angles_sc, key = carry
+        else:
+            rigids_0, key = carry
         key, k_ref, k_rev = jax.random.split(key, 3)
         feats = dict(init_feats)
         feats["rigids_0"] = rigids_0
@@ -265,20 +271,21 @@ def rollout(
             next_vel, next_angles = refresh_window_conditioning(
                 pred, out["angles"], dt_ps
             )
+            next_carry = (next_rigids_0, next_vel, next_angles, key)
         else:
-            next_vel, next_angles = vel, angles_sc
-        return (
-            (next_rigids_0, next_vel, next_angles, key),
-            (out["atom37"][-1], pred[-1]),
-        )
+            next_carry = (next_rigids_0, key)
+        return next_carry, (out["atom37"][-1], pred[-1])
 
-    carry0 = (
-        init_feats["rigids_0"],
-        init_feats["vel"],
-        init_feats["torsion_angles_sin_cos"],
-        key,
-    )
-    (_, _, _, _), (atom_traj, rigid_traj) = jax.lax.scan(
+    if refresh_conditioning:
+        carry0 = (
+            init_feats["rigids_0"],
+            init_feats["vel"],
+            init_feats["torsion_angles_sin_cos"],
+            key,
+        )
+    else:
+        carry0 = (init_feats["rigids_0"], key)
+    _, (atom_traj, rigid_traj) = jax.lax.scan(
         outer, carry0, None, length=n_steps
     )
     return atom_traj, rigid_traj

@@ -19,8 +19,16 @@ Multi-process (real `jax.distributed` cluster) semantics:
     per device), so ZeRO/TP placement survives a resume identically on
     one process or many. Templates without a sharding (plain numpy) come
     back as host arrays, as before.
+  * storage: by default every process opens `path` itself, so on a
+    multi-host pod the checkpoint directory must be SHARED storage
+    (GCS/NFS) visible to all hosts. With per-host local disks pass
+    ``broadcast=True`` to restore(): only process 0 reads the file and the
+    raw blob is broadcast to the other hosts over the ICI/DCN fabric
+    (collective — every process must call restore()).
 Exercised end-to-end by the 2-process cluster test (tests/mp_worker.py
-round-trips the sharded state between init and the verified train step).
+round-trips the sharded state between init and the verified train step,
+including a broadcast=True restore where the non-writer process is given a
+nonexistent path).
 """
 from __future__ import annotations
 
@@ -32,6 +40,13 @@ import numpy as np
 from flax import serialization
 
 from dynamicpdb_tpu.config import to_dict
+
+
+def _identity(t):
+    # module-level so repeated saves hit jax.jit's compilation cache (a
+    # fresh lambda per save would recompile the gather executable every
+    # checkpoint — the exact per-save cost batching the gathers avoids)
+    return t
 
 
 def _fetchable(tree):
@@ -67,7 +82,7 @@ def _fetchable(tree):
     for mesh, xs in by_mesh.items():
         rep = NamedSharding(mesh, PartitionSpec())
         out = jax.jit(
-            lambda t: t, out_shardings=tuple(rep for _ in xs)
+            _identity, out_shardings=tuple(rep for _ in xs)
         )(tuple(xs))
         for x, g in zip(xs, out):
             # fully-replicated arrays fetch fine even when their device set
@@ -83,6 +98,12 @@ def _fetchable(tree):
 def save(path: str, params, opt_state, step: int, epoch: int, cfg=None):
     params = _fetchable(params)
     opt_state = _fetchable(opt_state)
+    if jax.process_index() != 0:
+        # the gathers above are collective — every process participates —
+        # but only process 0 serializes and writes (building the payload
+        # here would duplicate the full gathered state in host memory on
+        # every non-writer host)
+        return
     payload = {
         "params": serialization.to_bytes(params),
         "opt_state": serialization.to_bytes(opt_state),
@@ -90,8 +111,6 @@ def save(path: str, params, opt_state, step: int, epoch: int, cfg=None):
         "epoch": epoch,
         "config": json.dumps(to_dict(cfg)) if cfg is not None else None,
     }
-    if jax.process_index() != 0:
-        return  # gathered above; one writer
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     blob = serialization.msgpack_serialize(payload)
     tmp = path + ".tmp"
@@ -115,9 +134,34 @@ def _place_like(template, restored):
     return jax.tree_util.tree_map(place, template, restored)
 
 
-def restore(path: str, params_template, opt_state_template=None) -> dict:
-    with open(path, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
+def _broadcast_blob(path: str) -> bytes:
+    """Process 0 reads `path`; the raw bytes are broadcast to every other
+    process (two collectives: length, then the uint8 payload). Lets restore()
+    work with per-host local disks where only the writer host has the file.
+    Every process must call this (collective)."""
+    from jax.experimental import multihost_utils
+
+    blob = b""
+    if jax.process_index() == 0:
+        with open(path, "rb") as f:
+            blob = f.read()
+    n = int(multihost_utils.broadcast_one_to_all(np.int64(len(blob))))
+    buf = (
+        np.frombuffer(blob, np.uint8)
+        if jax.process_index() == 0
+        else np.zeros((n,), np.uint8)
+    )
+    return multihost_utils.broadcast_one_to_all(buf).tobytes()
+
+
+def restore(path: str, params_template, opt_state_template=None, *,
+            broadcast: bool = False) -> dict:
+    if broadcast and jax.process_count() > 1:
+        blob = _broadcast_blob(path)
+    else:
+        with open(path, "rb") as f:
+            blob = f.read()
+    payload = serialization.msgpack_restore(blob)
     params = _place_like(
         params_template,
         serialization.from_bytes(params_template, payload["params"]),

@@ -101,6 +101,11 @@ want_shardings = [
 ckptlib.save(ckpt_path, params, opt_state, 0, 0)
 multihost_utils.sync_global_devices("ckpt_written")
 state = ckptlib.restore(ckpt_path, params, opt_state)
+# broadcast=True restore: the non-writer process is handed a NONEXISTENT
+# path — process 0 reads the blob and broadcasts it, proving per-host-disk
+# pods (no shared filesystem) can resume
+restore_path = ckpt_path if pid == 0 else ckpt_path + ".not-on-this-host"
+state = ckptlib.restore(restore_path, params, opt_state, broadcast=True)
 params, opt_state = state["params"], state["opt_state"]
 for a, want in zip(jax.tree_util.tree_leaves(opt_state), want_shardings):
     assert isinstance(a, jax.Array) and a.sharding == want, (

@@ -117,14 +117,19 @@ def main(argv=None):
             print(f"step {i}: loss {loss:.4f}", file=sys.stderr)
     train_s = time.time() - t0
 
-    # rollout from the last training window [t_train-1, t_train]; the k-th
-    # rolled frame predicts GT frame t_train + k
+    # rollout from the last training window [t_train-1, t_train]; rolled
+    # frame k re-predicts GT frame t_train + k. Frame k=0's GT features
+    # (rigids, velocity, torsions) are INSIDE the initial window, so it is
+    # near-teacher-forced — roll horizon+1 frames and score only k >= 1
+    # (frames t_train+1 onward), so no evaluated frame's GT features appear
+    # anywhere in the input (round-4 advisor finding).
     s = args.t_train - 1
+    n_roll = args.horizon + 1
     feats = featurize_window(
         jax.tree_util.tree_map(jnp.asarray, window_at(s))
     )
     feats = eval_init_window(jax.random.PRNGKey(1), feats, trainer.diffuser)
-    gt_ca = traj["atom37"][s + 1 : s + 1 + args.horizon, :, 1]  # [H, N, 3]
+    gt_ca = traj["atom37"][s + 2 : s + 2 + args.horizon, :, 1]  # [H, N, 3]
 
     def gt_conditioning_rollout():
         """Oracle control: rigids slide autoregressively, but the
@@ -143,7 +148,7 @@ def main(argv=None):
         rigids_0 = feats["rigids_0"]
         key_r = jax.random.PRNGKey(2)
         out_frames = []
-        for h in range(args.horizon):
+        for h in range(n_roll):
             wgt = featurize_window(
                 jax.tree_util.tree_map(jnp.asarray, window_at(s + h))
             )
@@ -166,11 +171,12 @@ def main(argv=None):
             atom_traj, _ = jax.jit(
                 lambda p, k, r=refresh: rollout(
                     k, trainer.model, p, trainer.diffuser, feats,
-                    n_steps=args.horizon, num_t=10, noise_scale=0.1,
+                    n_steps=n_roll, num_t=10, noise_scale=0.1,
                     refresh_conditioning=r, dt_ps=1.0,
                 )
             )(params, jax.random.PRNGKey(2))
-        pred_ca = np.asarray(atom_traj[:, :, 1])  # [H, N, 3]
+        # drop rolled frame 0 (near-teacher-forced; see comment above)
+        pred_ca = np.asarray(atom_traj[1:, :, 1])  # [H, N, 3]
         plain = np.sqrt(
             ((pred_ca - gt_ca) ** 2).sum(-1).mean(-1)
         )  # [H]
