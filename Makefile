@@ -35,7 +35,16 @@ FAST_TESTS = tests/test_rigid.py tests/test_rigid_golden.py \
              tests/test_mmcif.py tests/test_preprocess.py \
              tests/test_structure_checks.py
 
-.PHONY: lint fast test heavy slow check
+.PHONY: lint fast test heavy slow check cache-gc cache-record
+
+# committed-compile-cache hygiene (tools/cache_gc.py): report staleness +
+# orphans (exit 1 if any); `make cache-gc APPLY=--apply` deletes orphans;
+# `make cache-record` re-snapshots the manifest after a full warm workload
+cache-gc:
+	$(PY) tools/cache_gc.py $(APPLY)
+
+cache-record:
+	$(PY) tools/cache_gc.py --record
 
 lint:
 	$(PY) -m compileall -q dynamicpdb_tpu tools tests bench.py __graft_entry__.py

@@ -32,6 +32,16 @@ class DataConfig:
     min_t: float = 0.01
     num_t: int = 10  # reverse steps
     dynamics: bool = True
+    # batch layout (reference TrainSampler sample modes,
+    # Dfold_data_loader_dynamic.py:418-445): time_batch | length_batch |
+    # cluster_time_batch | cluster_length_batch. The reference's ACTIVE
+    # dynamic path uses the plain DistributedSampler (train:548), whose
+    # semantics = time_batch — hence the default (base.yaml:88 defaults
+    # cluster_time_batch for the legacy static path).
+    sample_mode: str = "time_batch"
+    # cluster file for the cluster_* modes (base.yaml:87); format: one
+    # cluster per line, space-separated chain ids like '1abc_A'
+    cluster_path: str = ""
     filtering: FilteringConfig = field(default_factory=FilteringConfig)
 
 

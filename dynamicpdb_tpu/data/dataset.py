@@ -189,13 +189,61 @@ class TrajectoryDataset:
         return raw
 
 
+def read_clusters(path: str) -> dict[str, int]:
+    """Parse the reference's cluster-file format (TrainSampler._read_clusters,
+    Dfold_data_loader_dynamic.py:409-416): line i defines cluster i; entries
+    are space-separated chain ids like ``1abc_A``; the PDB id is the part
+    before '_', uppercased."""
+    pdb_to_cluster: dict[str, int] = {}
+    with open(path) as f:
+        for i, line in enumerate(f):
+            for chain in line.split(" "):
+                pdb = chain.split("_")[0]
+                if pdb.strip():
+                    pdb_to_cluster[pdb.strip().upper()] = i
+    return pdb_to_cluster
+
+
+def assign_clusters(names, pdb_to_cluster: dict[str, int]) -> np.ndarray:
+    """Cluster id per dataset row (TrainSampler's cluster_lookup,
+    Dfold_data_loader_dynamic.py:389-401): names are uppercased and stripped
+    of any '.'-suffix; a name absent from the cluster file becomes a NEW
+    singleton cluster (the reference counts these as missing_pdbs)."""
+    table = dict(pdb_to_cluster)
+    max_cluster = max(table.values(), default=-1)
+    out = []
+    for name in names:
+        key = str(name).upper().split(".")[0]
+        if key not in table:
+            max_cluster += 1
+            table[key] = max_cluster
+        out.append(table[key])
+    return np.asarray(out, np.int64)
+
+
 @dataclass
 class EpochSampler:
-    """Epoch-seeded deterministic shuffle + batch-size repetition + host
-    striding — the reference DistributedTrainSampler contract
-    (Dfold_data_loader_dynamic.py:455-528): every host sees the same epoch
-    permutation; each dataset index is repeated batch_size times so one batch
-    holds multiple diffusion draws of the same protein window."""
+    """Epoch-seeded deterministic index stream + host striding — the
+    reference's two samplers on one contract:
+
+    * DistributedTrainSampler (Dfold_data_loader_dynamic.py:455-528): every
+      host sees the same epoch permutation; host striding happens AFTER
+      batch layout so each host consumes whole sub-batches.
+    * TrainSampler's four sample modes (:389-445):
+        - time_batch (default): each batch = batch_size copies of ONE
+          protein (multiple diffusion draws of the same window);
+        - length_batch: each batch = batch_size proteins sampled (with
+          replacement) from one seq-length group — batches are
+          shape-homogeneous without padding, one XLA program per length;
+        - cluster_time_batch / cluster_length_batch: first draw ONE
+          epoch-random representative per sequence cluster (cluster file
+          via read_clusters/assign_clusters), then apply time/length
+          layout over the representatives (:430-445). Balances sampling
+          across redundant sequence clusters.
+
+    Length modes need `lengths` (per-row seq_len); cluster modes need
+    `clusters` (per-row cluster id, see assign_clusters). Use make_sampler
+    to wire both from a TrajectoryDataset + DataConfig."""
 
     n_items: int
     batch_size: int
@@ -203,17 +251,30 @@ class EpochSampler:
     num_hosts: int = 1
     host_index: int = 0
     shuffle: bool = True
+    sample_mode: str = "time_batch"
+    lengths: np.ndarray | None = None
+    clusters: np.ndarray | None = None
 
     def __post_init__(self):
         if self.num_hosts > 1 and self.batch_size % self.num_hosts:
-            # striding AFTER batch repetition (the reference's subsample
+            # striding AFTER batch layout (the reference's subsample
             # order, Dfold_data_loader_dynamic.py:502-519) only preserves
-            # the one-protein-per-batch contract when each host receives a
-            # whole number of copies per protein
+            # the whole-batch contract when each host receives a whole
+            # number of rows per batch
             raise ValueError(
                 f"batch_size={self.batch_size} must divide evenly over "
                 f"num_hosts={self.num_hosts}"
             )
+        modes = ("time_batch", "length_batch",
+                 "cluster_time_batch", "cluster_length_batch")
+        if self.sample_mode not in modes:
+            raise ValueError(
+                f"invalid sample_mode {self.sample_mode!r}; one of {modes}"
+            )
+        if "length" in self.sample_mode and self.lengths is None:
+            raise ValueError(f"{self.sample_mode} needs per-row lengths")
+        if self.sample_mode.startswith("cluster") and self.clusters is None:
+            raise ValueError(f"{self.sample_mode} needs per-row clusters")
 
     @property
     def local_batch_size(self) -> int:
@@ -227,22 +288,77 @@ class EpochSampler:
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
         rng = np.random.default_rng(self.seed + epoch)
-        idx = (
-            rng.permutation(self.n_items) if self.shuffle
-            else np.arange(self.n_items)
-        )
-        idx = np.repeat(idx, self.batch_size)
+        if self.sample_mode.startswith("cluster"):
+            # ONE epoch-random representative per cluster, in cluster-id
+            # order (the reference's groupby('cluster').sample(1,
+            # random_state=epoch) keeps group order, :430-445)
+            clusters = np.asarray(self.clusters)[: self.n_items]
+            pool = np.asarray([
+                int(rng.choice(np.flatnonzero(clusters == c)))
+                for c in np.unique(clusters)
+            ])
+        else:
+            pool = np.arange(self.n_items)
+
+        if self.sample_mode.endswith("length_batch"):
+            # batch_size same-length proteins per batch, drawn WITH
+            # replacement from each length group in ascending-length order
+            # (groupby('modeled_seq_len').sample(batch_size, replace=True),
+            # :420-423,436-439)
+            lengths = np.asarray(self.lengths)[pool]
+            idx = np.concatenate([
+                rng.choice(pool[lengths == length], size=self.batch_size,
+                           replace=True)
+                for length in np.unique(lengths)
+            ])
+        else:
+            # time layout: batch_size copies of each pooled protein
+            if self.shuffle and self.sample_mode == "time_batch":
+                pool = rng.permutation(pool)
+            # (cluster_time_batch keeps cluster order, like the reference)
+            idx = np.repeat(pool, self.batch_size)
         total = int(np.ceil(len(idx) / self.num_hosts)) * self.num_hosts
         if total > len(idx):
             idx = np.concatenate([idx, idx[: total - len(idx)]])
         return idx[self.host_index :: self.num_hosts]
 
 
+def make_sampler(dataset: TrajectoryDataset, cfg: DataConfig, *,
+                 batch_size: int, seed: int = 0, num_hosts: int = 1,
+                 host_index: int = 0) -> EpochSampler:
+    """Build the epoch sampler for cfg.sample_mode, wiring per-row lengths
+    (manifest seq_len column) and cluster ids (cfg.cluster_path parsed with
+    the reference's format) from the dataset manifest."""
+    lengths = clusters = None
+    if "length" in cfg.sample_mode:
+        if "seq_len" not in dataset.df:
+            raise ValueError(
+                f"{cfg.sample_mode} needs a seq_len column in the manifest"
+            )
+        lengths = dataset.df["seq_len"].to_numpy()
+    if cfg.sample_mode.startswith("cluster"):
+        if not cfg.cluster_path:
+            raise ValueError(
+                f"{cfg.sample_mode} needs data.cluster_path (reference "
+                f"config/base.yaml:87 cluster_path)"
+            )
+        clusters = assign_clusters(
+            dataset.df["name"], read_clusters(cfg.cluster_path)
+        )
+    return EpochSampler(
+        n_items=len(dataset), batch_size=batch_size, seed=seed,
+        num_hosts=num_hosts, host_index=host_index,
+        sample_mode=cfg.sample_mode, lengths=lengths, clusters=clusters,
+    )
+
+
 def batch_iterator(dataset: TrajectoryDataset, sampler: EpochSampler,
                    epoch: int, *, drop_names: bool = True):
-    """Yield stacked [B, ...] numpy batches for one epoch (batch = the
-    repeated copies of one protein index, matching the reference's
-    time_batch batching where every batch shares one protein/shape)."""
+    """Yield stacked [B, ...] numpy batches for one epoch. In the time
+    modes every batch holds repeated copies of one protein (multiple
+    diffusion draws of the same window); in the length modes it holds
+    batch_size same-length proteins, so shapes stay batch-homogeneous
+    either way (one XLA program per distinct length unless pad_to is set)."""
     idx = sampler.epoch_indices(epoch)
     rng = np.random.default_rng(
         np.random.SeedSequence([sampler.seed, epoch, sampler.host_index])

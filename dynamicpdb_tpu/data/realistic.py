@@ -33,7 +33,7 @@ removed without the actual download:
 
 The window dict matches data/featurize.py's contract exactly, so this is
 a drop-in replacement for synthetic.make_window anywhere realism matters
-(tools/real_structure_drill.py runs the FULL chain on it: mmCIF write ->
+(tools/realistic_structure_drill.py runs the FULL chain on it: mmCIF write ->
 parse -> pack -> train -> eval -> torch export -> reference eval).
 """
 from __future__ import annotations

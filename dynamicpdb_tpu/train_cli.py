@@ -50,9 +50,9 @@ def main(argv=None):
 
     from dynamicpdb_tpu.config import Config, apply_overrides, load_yaml
     from dynamicpdb_tpu.data.dataset import (
-        EpochSampler,
         TrajectoryDataset,
         batch_iterator,
+        make_sampler,
     )
     from dynamicpdb_tpu.parallel import mesh as mesh_lib
     from dynamicpdb_tpu.train.experiment import Experiment
@@ -97,8 +97,8 @@ def main(argv=None):
     else:
         n_batch_dev = 1
     global_batch = cfg.experiment.batch_size * max(n_batch_dev, 1)
-    sampler = EpochSampler(
-        n_items=len(dataset),
+    sampler = make_sampler(
+        dataset, cfg.data,
         batch_size=global_batch,
         seed=cfg.experiment.seed,
         num_hosts=jax.process_count(),

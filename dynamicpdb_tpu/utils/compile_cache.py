@@ -17,12 +17,42 @@ DEFAULT_DIR = os.environ.get(
 )
 
 
+def _warn_if_stale(path: str) -> None:
+    """Committed cache dirs carry a MANIFEST.json (tools/cache_gc.py) pinning
+    the jax/jaxlib versions the entries were compiled under. Entries are
+    content-keyed, so a toolchain bump never errors — every entry just
+    silently misses while staying committed dead weight. Make that loud."""
+    manifest = os.path.join(path, "MANIFEST.json")
+    if not os.path.exists(manifest):
+        return
+    try:
+        import json
+
+        import jax
+        import jaxlib
+
+        with open(manifest) as f:
+            recorded = json.load(f).get("toolchain", {})
+        current = {"jax": jax.__version__, "jaxlib": jaxlib.__version__}
+        if recorded and recorded != current:
+            log.warning(
+                "STALE compile cache %s: entries recorded under %s, running "
+                "%s — every committed entry will miss (dead weight). "
+                "Repopulate with a fresh workload, then run "
+                "`python tools/cache_gc.py --record` (see `make cache-gc`).",
+                path, recorded, current,
+            )
+    except Exception as e:  # a corrupt manifest must never block the cache
+        log.warning("compile-cache manifest check failed for %s: %s", path, e)
+
+
 def enable_persistent_cache(path: str | None = None) -> str:
     """Turn on JAX's persistent compilation cache (idempotent)."""
     import jax
 
     path = path or DEFAULT_DIR
     os.makedirs(path, exist_ok=True)
+    _warn_if_stale(path)
     jax.config.update("jax_compilation_cache_dir", path)
     # cache every compile that takes longer than a second; tiny programs
     # aren't worth the disk round-trip

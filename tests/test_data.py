@@ -112,6 +112,120 @@ def test_epoch_sampler_local_batches_are_single_protein():
         EpochSampler(n_items=5, batch_size=3, seed=0, num_hosts=2)
 
 
+def test_read_clusters_reference_format(tmp_path):
+    """Cluster-file parse mirrors TrainSampler._read_clusters
+    (Dfold_data_loader_dynamic.py:409-416): line i = cluster i,
+    space-separated chain ids, PDB id = pre-'_' part, uppercased."""
+    from dynamicpdb_tpu.data.dataset import assign_clusters, read_clusters
+
+    p = tmp_path / "clusters.txt"
+    p.write_text("1abc_A 1abd_B 2xyz_A\n3foo_A\n4bar_A 4baz_C\n")
+    table = read_clusters(str(p))
+    assert table == {"1ABC": 0, "1ABD": 0, "2XYZ": 0,
+                     "3FOO": 1, "4BAR": 2, "4BAZ": 2}
+    # lookup strips '.'-suffixes and uppercases; unknown names get NEW
+    # singleton clusters (the reference's missing_pdbs path, :395-400)
+    got = assign_clusters(
+        ["1abc.pdb", "3foo", "9zzz", "8yyy", "9zzz"], table
+    )
+    np.testing.assert_array_equal(got, [0, 1, 3, 4, 3])
+
+
+def _mode_sampler(mode, n_items=6, batch_size=4, **kw):
+    lengths = np.array([12, 16, 12, 16, 12, 20])[:n_items]
+    clusters = np.array([0, 0, 1, 1, 2, 2])[:n_items]
+    return EpochSampler(
+        n_items=n_items, batch_size=batch_size, seed=5,
+        sample_mode=mode, lengths=lengths, clusters=clusters, **kw,
+    )
+
+
+def test_length_batch_mode():
+    """Every batch holds batch_size proteins of ONE length, groups in
+    ascending-length order; draws are epoch-seeded with replacement."""
+    s = _mode_sampler("length_batch")
+    lengths = np.asarray(s.lengths)
+    idx = s.epoch_indices(0)
+    assert len(idx) == 3 * 4  # one batch per distinct length
+    batch_lengths = lengths[idx].reshape(3, 4)
+    assert (batch_lengths == batch_lengths[:, :1]).all()
+    np.testing.assert_array_equal(batch_lengths[:, 0], [12, 16, 20])
+    np.testing.assert_array_equal(idx, s.epoch_indices(0))  # deterministic
+    assert not np.array_equal(idx, s.epoch_indices(1))
+
+
+def test_cluster_time_batch_mode():
+    """One epoch-random representative per cluster, repeated batch_size
+    times (batch = diffusion draws of one protein), cluster order kept."""
+    s = _mode_sampler("cluster_time_batch")
+    clusters = np.asarray(s.clusters)
+    reps_seen = set()
+    for epoch in range(6):
+        idx = s.epoch_indices(epoch)
+        assert len(idx) == 3 * 4  # one batch per cluster
+        batches = idx.reshape(3, 4)
+        # each batch = one protein; one batch per cluster, in cluster order
+        assert (batches == batches[:, :1]).all()
+        np.testing.assert_array_equal(clusters[batches[:, 0]], [0, 1, 2])
+        reps_seen.update(batches[:, 0].tolist())
+    assert len(reps_seen) > 3  # representatives vary across epochs
+
+
+def test_cluster_length_batch_mode():
+    s = _mode_sampler("cluster_length_batch")
+    lengths, clusters = np.asarray(s.lengths), np.asarray(s.clusters)
+    idx = s.epoch_indices(0)
+    batches = idx.reshape(-1, 4)
+    for b in batches:
+        assert len(set(lengths[b].tolist())) == 1  # same-length batches
+    # only one representative per cluster can appear in the whole epoch
+    for c in np.unique(clusters):
+        assert len(set(idx[clusters[idx] == c].tolist())) <= 1
+
+
+def test_mode_sampler_host_striding():
+    """Host-strided streams of every mode interleave back into the global
+    stream (each host takes batch_size/num_hosts rows of every batch)."""
+    for mode in ("length_batch", "cluster_time_batch",
+                 "cluster_length_batch"):
+        full = _mode_sampler(mode).epoch_indices(4)
+        a0 = _mode_sampler(mode, num_hosts=2, host_index=0).epoch_indices(4)
+        a1 = _mode_sampler(mode, num_hosts=2, host_index=1).epoch_indices(4)
+        inter = np.empty(len(a0) + len(a1), dtype=a0.dtype)
+        inter[0::2], inter[1::2] = a0, a1
+        np.testing.assert_array_equal(inter, full, err_msg=mode)
+
+
+def test_sampler_mode_validation():
+    with pytest.raises(ValueError, match="invalid sample_mode"):
+        EpochSampler(n_items=3, batch_size=2, sample_mode="bogus")
+    with pytest.raises(ValueError, match="lengths"):
+        EpochSampler(n_items=3, batch_size=2, sample_mode="length_batch")
+    with pytest.raises(ValueError, match="clusters"):
+        EpochSampler(n_items=3, batch_size=2,
+                     sample_mode="cluster_time_batch")
+
+
+def test_make_sampler_end_to_end(csv_dir, tmp_path):
+    """cluster_time_batch through the real manifest + batch_iterator."""
+    from dynamicpdb_tpu.data.dataset import make_sampler
+
+    cluster_file = tmp_path / "clusters.txt"
+    cluster_file.write_text("prot0_A prot1_A\n")  # both train rows: 1 cluster
+    cfg = _cfg(csv_dir, sample_mode="cluster_time_batch",
+               cluster_path=str(cluster_file))
+    ds = TrajectoryDataset(cfg, split="train", pad_to=16)
+    sampler = make_sampler(ds, cfg, batch_size=2, seed=0)
+    batches = list(batch_iterator(ds, sampler, epoch=0))
+    assert len(batches) == 1  # ONE cluster -> one batch per epoch
+    assert batches[0]["atom37"].shape == (2, 2, 16, 37, 3)
+    # representative varies with epoch (epoch-seeded choice of member)
+    picks = {
+        int(sampler.epoch_indices(e)[0]) for e in range(8)
+    }
+    assert picks == {0, 1}
+
+
 def test_batch_iterator(csv_dir):
     ds = TrajectoryDataset(_cfg(csv_dir), split="train", pad_to=16)
     sampler = EpochSampler(n_items=len(ds), batch_size=2, seed=0)

@@ -1,7 +1,7 @@
 """Structure-file-in-the-loop integration: realistic structure -> mmCIF
 -> parser -> release-layout pack -> TrajectoryDataset -> one train step.
 
-Pins the seam the real-structure drill (tools/real_structure_drill.py)
+Pins the seam the real-structure drill (tools/realistic_structure_drill.py)
 exercises at production scale: the packed trajectory npz is built ONLY
 from coordinates that went through preprocess/mmcif.py's PDBx tokenizer,
 so a writer/parser/packer drift breaks THIS test, not just the offline

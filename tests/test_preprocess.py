@@ -134,6 +134,76 @@ def test_box_from_state_xml_openmm_capital_vectors(tmp_path):
     np.testing.assert_allclose(box, [26.0, 26.0, 26.0])  # nm -> Angstrom
 
 
+def _state_xml(box_nm: float) -> str:
+    return (
+        '<?xml version="1.0" ?>\n'
+        '<State openmmVersion="8.0" time="100000.0">\n'
+        "  <PeriodicBoxVectors>\n"
+        f'    <A x="{box_nm}" y="0" z="0"/>\n'
+        f'    <B x="0" y="{box_nm}" z="0"/>\n'
+        f'    <C x="0" y="0" z="{box_nm}"/>\n'
+        "  </PeriodicBoxVectors>\n"
+        "</State>\n"
+    )
+
+
+def test_box_from_state_xml_compressed_variants(tmp_path):
+    """gzip- and zlib-compressed State XMLs parse identically to plain."""
+    import gzip
+    import zlib
+
+    text = _state_xml(2.6).encode()
+    (tmp_path / "plain.xml").write_bytes(text)
+    (tmp_path / "gz.xml").write_bytes(gzip.compress(text))
+    (tmp_path / "z.xml").write_bytes(zlib.compress(text))
+    for name in ("plain.xml", "gz.xml", "z.xml"):
+        np.testing.assert_allclose(
+            pbc.box_from_state_xml(str(tmp_path / name)), [26.0] * 3,
+            err_msg=name,
+        )
+    vecs = pbc.box_vectors_from_state_xml(str(tmp_path / "gz.xml"))
+    np.testing.assert_allclose(vecs, np.diag([26.0] * 3))
+
+
+def test_box_from_state_xml_rejects_triclinic(tmp_path):
+    xml = tmp_path / "tri.xml"
+    xml.write_text(
+        "<State><PeriodicBoxVectors>"
+        '<A x="2.6" y="0" z="0"/><B x="1.3" y="2.6" z="0"/>'
+        '<C x="0" y="0" z="2.6"/>'
+        "</PeriodicBoxVectors></State>"
+    )
+    with pytest.raises(ValueError, match="triclinic"):
+        pbc.box_from_state_xml(str(xml))
+
+
+def test_release_dir_box_roundtrip(tmp_path):
+    """The full reference chain (post_process.py:10-76) on release-layout
+    fixtures, no OpenMM: find {pid}_state_npt*.xml in the per-protein dir,
+    parse the box, unwrap a trajectory that crossed a face mid-run."""
+    pid = "1a62_A"
+    d = tmp_path / pid
+    d.mkdir()
+    (d / f"{pid}_state_npt100000.0.xml").write_text(_state_xml(2.6))
+    box = pbc.box_from_release_dir(str(tmp_path), pid)
+    np.testing.assert_allclose(box, [26.0] * 3)
+
+    # true trajectory drifts +0.9 A/frame along x; wrap frames 4+ back by
+    # one box length (a face crossing the mean-jump detector must undo)
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(1, 8, 3)) * 2.0
+    drift = np.zeros((6, 1, 3))
+    drift[:, 0, 0] = np.arange(6) * 0.9
+    true = base + drift
+    wrapped = true.copy()
+    wrapped[4:, :, 0] -= box[0]
+    un = pbc.unwrap_trajectory(wrapped, box)
+    np.testing.assert_allclose(un, true, atol=1e-9)
+
+    with pytest.raises(FileNotFoundError, match="box_size explicitly"):
+        pbc.box_from_release_dir(str(tmp_path), "2xyz_B")
+
+
 def test_read_pdb_insertion_codes_altloc_mse(tmp_path):
     """100/100A are distinct residues; only the first altLoc conformer is
     kept; HETATM MSE parses as MET with SE->SD."""

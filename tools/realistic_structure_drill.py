@@ -25,9 +25,9 @@ reference chain prep_atlas_with_forces.py:26-38 (per-frame structure file
   6. export_torch -> reload the EXPORTED torch checkpoint through
      eval_cli --ref-ckpt (import_torch) -> metrics must match native eval
 
-Artifact: docs/artifacts/real_structure_drill.json
+Artifact: docs/artifacts/realistic_structure_drill.json
 
-    python tools/real_structure_drill.py [--n-res 48] [--n-frames 34]
+    python tools/realistic_structure_drill.py [--n-res 48] [--n-frames 34]
         [--steps 300]
 """
 from __future__ import annotations
@@ -51,7 +51,7 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--workdir", default="/tmp/dynamicpdb_real_drill")
-    ap.add_argument("--out", default="docs/artifacts/real_structure_drill")
+    ap.add_argument("--out", default="docs/artifacts/realistic_structure_drill")
     ap.add_argument("--seed", type=int, default=11)
     args = ap.parse_args(argv)
 
