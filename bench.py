@@ -326,6 +326,25 @@ def main():
                 "aligned_rmsd_by_bucket"
             )
 
+    # committed long-sequence capability figure (tools/bench_long_n.py;
+    # the reference caps training at 256 residues — this is the measured
+    # steps/s at 4x that on one chip, not re-measured here to keep the
+    # driver bench off the N=1024 compile)
+    long_n = None
+    lpath = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "docs", "artifacts", "long_n.json",
+    )
+    if os.path.exists(lpath):
+        with open(lpath) as f:
+            lj = json.load(f)
+        best = lj.get("n1024_remat0") or lj.get("n1024_remat1")
+        if best and "steps_per_sec" in best:
+            long_n = {
+                "train_steps_per_sec_n1024": best["steps_per_sec"],
+                "device": lj.get("device"),
+            }
+
     print(
         json.dumps(
             {
@@ -342,6 +361,7 @@ def main():
                     round(x, 2) for x in fps_1k_runs
                 ],
                 "rollout_rmsd_drift_1000f": drift,
+                "long_n_capability": long_n,
                 "rollout_fps_64f_best": round(fps, 3),
                 "rollout_fps_64f_median": round(fps_med, 3),
                 "rollout_fps_64f_iqr": [fps_p25, fps_p75],

@@ -26,6 +26,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ns", default="256,512,1024")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default=None,
+                    help="also write the JSON to this artifact path "
+                         "(bench.py surfaces docs/artifacts/long_n.json "
+                         "as the long-N extra)")
     args = ap.parse_args()
 
     from dynamicpdb_tpu.utils.compile_cache import enable_persistent_cache
@@ -116,6 +120,10 @@ def main():
             gc.collect()
     results["device"] = str(jax.devices()[0])
     print(json.dumps(results))
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -12,7 +12,8 @@ every frame two ways:
     (last observed frame repeated — the reference's own baseline,
     train_DFOLD_dynamics.py:1558-1559) and the oracle ceiling (GT
     force/vel/torsion conditioning at every step, rigid window still
-    autoregressive);
+    autoregressive); a deterministic serving row (fast_x0 + noise_scale=0)
+    separates reverse-SDE noise accumulation from model-error feedback;
   * physical sanity of the predictions THEMSELVES, no GT needed: exact AF2
     violation metrics (analysis/violations.py, golden-tested vs the
     reference torch stack), Ca-Ca bond deviation, steric clashes, radius
@@ -185,6 +186,18 @@ def main(argv=None):
     pred37 = np.asarray(atom_traj[1:])  # [H, N, 37, 3]
     roll_s = time.time() - t0
 
+    # deterministic serving mode: fast_x0 (1 forward/frame) + zero noise —
+    # isolates model-error feedback from reverse-SDE noise accumulation
+    print("deterministic (noise_scale=0, fast_x0) rollout...",
+          file=sys.stderr)
+    atom_traj_det, _ = jax.jit(
+        lambda p, k: rollout(
+            k, trainer.model, p, trainer.diffuser, feats,
+            n_steps=n_roll, num_t=10, noise_scale=0.0, fast_x0=True,
+        )
+    )(params, jax.random.PRNGKey(2))
+    det37 = np.asarray(atom_traj_det[1:])
+
     # RefAsPred floor: the last OBSERVED frame as the prediction forever
     ref37 = np.broadcast_to(
         traj["atom37"][args.t_train][None], pred37.shape
@@ -229,6 +242,7 @@ def main(argv=None):
 
     series = {
         "model": rmsd_series(pred37),
+        "model_det": rmsd_series(det37),
         "refaspred": rmsd_series(ref37),
         "oracle": rmsd_series(oracle37),
     }
@@ -258,6 +272,8 @@ def main(argv=None):
         sanity[label] = {
             "pred": structure_stats(pred37[pick], mask37, aatype,
                                     residue_index),
+            "pred_det": structure_stats(det37[pick], mask37, aatype,
+                                        residue_index),
             "gt": structure_stats(gt37[pick], mask37, aatype,
                                   residue_index),
         }
@@ -288,11 +304,18 @@ def main(argv=None):
             "aligned_rmsd_by_bucket": dict(
                 zip([label for label, _ in slices], model_drift)
             ),
+            "aligned_rmsd_by_bucket_det": {
+                label: accuracy["model_det"][label][
+                    "ca_rmsd_aligned_median"]
+                for label, _ in slices
+            },
             "aligned_rmsd_final_bucket": model_drift[-1],
             "violations_per_residue_final_bucket_pred":
                 sanity[last]["pred"].get("violations_per_residue") if
                 sanity else None,
             "rg_final_bucket_pred": sanity[last]["pred"].get(
+                "radius_of_gyration"),
+            "rg_final_bucket_pred_det": sanity[last]["pred_det"].get(
                 "radius_of_gyration"),
             "rg_final_bucket_gt": sanity[last]["gt"].get(
                 "radius_of_gyration"),
@@ -302,7 +325,7 @@ def main(argv=None):
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload["headline"]))
-    for name in ("model", "refaspred", "oracle"):
+    for name in ("model", "model_det", "refaspred", "oracle"):
         print(name, {label: accuracy[name][label]["ca_rmsd_aligned_median"]
                      for label, _ in slices}, file=sys.stderr)
 
