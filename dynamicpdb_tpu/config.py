@@ -153,6 +153,14 @@ class ExperimentConfig:
     dist_mat_loss_weight: float = 1.0
     dist_mat_loss_t_filter: float = 0.25
     aux_loss_weight: float = 0.25
+    # exposure-bias robustifier (beyond-reference, opt-in): std of the
+    # random SE(3) error composed onto the CONDITIONING frames' rigids
+    # during training (data/featurize.py:perturb_conditioning_rigids) so
+    # the net tolerates its own rollout-fed windows. 0 = reference
+    # semantics (clean windows only). Measured effect on 1000-frame drift:
+    # docs/artifacts/rollout_quality_1000_robust.json / docs/DESIGN.md.
+    cond_noise_trans: float = 0.0  # Angstrom
+    cond_noise_rot_deg: float = 0.0  # degrees
     noise_scale: float = 1.0  # 0.1 at eval (run_eval.sh:9)
     num_loader_workers: int = 2
     # parallelism

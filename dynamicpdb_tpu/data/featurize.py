@@ -68,6 +68,39 @@ def featurize_window(raw: dict) -> dict:
     }
 
 
+def perturb_conditioning_rigids(
+    key, rigids_0: jnp.ndarray, trans_std: float, rot_std_rad: float
+) -> jnp.ndarray:
+    """Exposure-bias robustifier (beyond-reference, opt-in): compose a small
+    random SE(3) error onto the CONDITIONING frames (all but the last) of a
+    training window's rigids_0 [F, N, 7], leaving the target frame — the
+    label — clean.
+
+    Rationale: the autoregressive rollout slides the rigid window with the
+    model's own predictions (sampling/reverse.py rollout), so at serving
+    time the conditioning frames carry prediction error the one-step
+    training regime never exposes — measured to compound near-ballistically
+    over 1000 frames (docs/artifacts/rollout_quality_1000.json). This
+    simulates that regime at training time: per-residue Gaussian rotation
+    (rotvec, std rot_std_rad) composed in the local frame and Gaussian
+    translation (std trans_std, Angstrom), both scaled by a per-window
+    u ~ U(0,1) so the model sees the clean-to-noisy spectrum.
+    """
+    from dynamicpdb_tpu.ops import so3
+
+    k_u, k_r, k_t = jax.random.split(key, 3)
+    shape = rigids_0.shape[:-1]  # [F, N]
+    u = jax.random.uniform(k_u, ())
+    rotvec = rot_std_rad * u * jax.random.normal(k_r, shape + (3,))
+    dtrans = trans_std * u * jax.random.normal(k_t, shape + (3,))
+    # no re-normalization: the product of two ~unit quats stays ~unit and
+    # downstream Rigid.from_tensor_7 normalizes anyway — and multiplying by
+    # the exact identity quat makes the zero-std path bit-identical input
+    q = so3.quat_multiply(rigids_0[..., :4], so3.rotvec_to_quat(rotvec))
+    pert = jnp.concatenate([q, rigids_0[..., 4:] + dtrans], axis=-1)
+    return jnp.concatenate([pert[:-1], rigids_0[-1:]], axis=0)
+
+
 def diffuse_training_window(key, feats: dict, diffuser, min_t: float) -> dict:
     """Sample t ~ U(min_t, 1) and noise ALL F frames (loader :333-340)."""
     from dynamicpdb_tpu.ops.rigid import Rigid

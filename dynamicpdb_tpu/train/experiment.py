@@ -98,6 +98,20 @@ class Trainer:
         # correlating the CFG drop with the self-conditioning coin flip)
         k_diff, k_sc, k_drop = jax.random.split(key, 3)
         feats = featurize_window(raw_window)
+        ec = self.cfg.experiment
+        if ec.cond_noise_trans > 0 or ec.cond_noise_rot_deg > 0:
+            # exposure-bias robustifier (opt-in; featurize.py docstring).
+            # fold_in rather than a 4-way split so the default path's RNG
+            # streams are untouched — enabling the knob must not silently
+            # reshuffle every other random draw of a parity run
+            from dynamicpdb_tpu.data.featurize import perturb_conditioning_rigids
+
+            feats["rigids_0"] = perturb_conditioning_rigids(
+                jax.random.fold_in(key, 0x5E3),
+                feats["rigids_0"],
+                ec.cond_noise_trans,
+                ec.cond_noise_rot_deg * jnp.pi / 180.0,
+            )
         feats = diffuse_training_window(
             k_diff, feats, self.diffuser, self.cfg.data.min_t
         )

@@ -257,3 +257,52 @@ def test_eval_cli_extension_with_refresh(window, tmp_path):
     assert out["atom_traj"].shape == (2, n, 37, 3)
     assert out["rigid_traj"].shape == (2, n, 7)
     assert np.isfinite(out["atom_traj"]).all()
+
+
+def test_perturb_conditioning_rigids_properties():
+    from dynamicpdb_tpu.data.featurize import (
+        featurize_window,
+        perturb_conditioning_rigids,
+    )
+
+    window = make_window(n_res=8, frame_time=3, seed=1)
+    feats = featurize_window(jax.tree_util.tree_map(jnp.asarray, window))
+    r0 = feats["rigids_0"]
+    key = jax.random.PRNGKey(3)
+
+    # zero stds = identity
+    same = perturb_conditioning_rigids(key, r0, 0.0, 0.0)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(r0))
+
+    pert = np.asarray(perturb_conditioning_rigids(key, r0, 0.5, 0.05))
+    # the target frame (the label) is NEVER touched
+    np.testing.assert_array_equal(pert[-1], np.asarray(r0[-1]))
+    # conditioning frames move
+    assert np.abs(pert[:-1] - np.asarray(r0[:-1])).max() > 1e-4
+    # quaternions stay ~unit-norm (downstream from_tensor_7 normalizes)
+    np.testing.assert_allclose(
+        np.linalg.norm(pert[..., :4], axis=-1), 1.0, atol=1e-4
+    )
+
+
+def test_cond_noise_trains_and_default_rng_untouched(window):
+    import dataclasses
+
+    # enabling the knob changes the loss; the DEFAULT path's RNG streams
+    # are untouched (fold_in, not a re-split), so a disabled config is
+    # bit-identical to the pre-knob trainer by construction
+    cfg_on = dataclasses.replace(
+        TINY_CFG,
+        experiment=dataclasses.replace(
+            TINY_CFG.experiment, cond_noise_trans=0.5, cond_noise_rot_deg=3.0
+        ),
+    )
+    key = jax.random.PRNGKey(0)
+    t_off = Trainer(TINY_CFG)
+    params, _ = t_off.init_params(key, window)
+    batch = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], window)
+    loss_off, _ = jax.jit(t_off.loss_fn)(params, key, batch)
+    t_on = Trainer(cfg_on)
+    loss_on, _ = jax.jit(t_on.loss_fn)(params, key, batch)
+    assert np.isfinite(float(loss_on))
+    assert float(loss_on) != float(loss_off)

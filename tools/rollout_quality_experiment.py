@@ -85,6 +85,10 @@ def main(argv=None):
     ap.add_argument("--frames-per-bucket-stats", type=int, default=6,
                     help="frames sampled per bucket for the (expensive) "
                          "violation/DSSP stats")
+    ap.add_argument("--cond-noise-trans", type=float, default=0.0,
+                    help="train with the exposure-bias robustifier: std (A) "
+                         "of SE(3) translation error on conditioning frames")
+    ap.add_argument("--cond-noise-rot-deg", type=float, default=0.0)
     ap.add_argument("--out", default="docs/artifacts/rollout_quality_1000.json")
     args = ap.parse_args(argv)
     buckets = [int(b) for b in args.buckets.split(",")]
@@ -139,6 +143,17 @@ def main(argv=None):
             r3=R3Config(coordinate_scaling=1.0),
         ),
     )
+    if args.cond_noise_trans > 0 or args.cond_noise_rot_deg > 0:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            experiment=dataclasses.replace(
+                cfg.experiment,
+                cond_noise_trans=args.cond_noise_trans,
+                cond_noise_rot_deg=args.cond_noise_rot_deg,
+            ),
+        )
     trainer = Trainer(cfg)
     key = jax.random.PRNGKey(args.seed)
     w0 = window_at(0)
@@ -290,6 +305,8 @@ def main(argv=None):
             "horizon": args.horizon, "buckets": buckets,
             "steps": args.steps, "batch": args.batch, "seed": args.seed,
             "dyn_backbone_deg": args.dyn_backbone_deg,
+            "cond_noise_trans": args.cond_noise_trans,
+            "cond_noise_rot_deg": args.cond_noise_rot_deg,
             "noise_scale": 0.1, "num_t": 10,
             "frames_per_bucket_stats": k,
             "device": str(jax.devices()[0]),
