@@ -161,6 +161,13 @@ class ExperimentConfig:
     # docs/artifacts/rollout_quality_1000_robust.json / docs/DESIGN.md.
     cond_noise_trans: float = 0.0  # Angstrom
     cond_noise_rot_deg: float = 0.0  # degrees
+    # scheduled-sampling / rollout-consistent training (beyond-reference,
+    # opt-in): K>1 unrolls K denoising steps per window, feeding each
+    # step's predicted rigid back into the next step's conditioning slot
+    # (differentiable; train/experiment.py:_window_loss). Raw windows must
+    # carry F+K-1 frames — raise data.frame_time by K-1. 1 = reference
+    # one-step semantics.
+    unroll_steps: int = 1
     noise_scale: float = 1.0  # 0.1 at eval (run_eval.sh:9)
     num_loader_workers: int = 2
     # parallelism

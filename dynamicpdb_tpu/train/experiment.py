@@ -51,6 +51,21 @@ class Trainer:
 
     # -- setup ----------------------------------------------------------------
     def init_params(self, key, sample_window: dict):
+        unroll = getattr(self.cfg.experiment, "unroll_steps", 1)
+        if unroll > 1:
+            # the raw window carries F+K-1 frames (unrolled training,
+            # _window_loss); the model itself only ever sees F-frame
+            # windows — init on the first slice
+            f_raw = sample_window["atom37"].shape[0]
+            need = f_raw - (unroll - 1)
+            sample_window = dict(
+                sample_window,
+                **{
+                    k: sample_window[k][:need]
+                    for k in ("atom37", "force", "vel")
+                    if k in sample_window
+                },
+            )
         # jit the init chain: eager execution would dispatch thousands of
         # tiny ops one-by-one (pathological over remote-device transports)
         @jax.jit
@@ -92,12 +107,25 @@ class Trainer:
         return params, opt_state
 
     # -- the step -------------------------------------------------------------
-    def _window_loss(self, params, key, raw_window):
+    def _one_step_loss(self, params, key, raw_window, rigid_overrides=()):
+        """One denoising step's loss on one raw window. Returns
+        (loss, aux, pred_rigids_last [N,7]).
+
+        rigid_overrides: optional ((position, [N,7] tensor7), ...) pairs
+        substituted into rigids_0 AFTER featurization — the unrolled
+        training path feeds earlier predictions back through here, the
+        same seam the autoregressive rollout slides
+        (sampling/reverse.py rollout)."""
         # three INDEPENDENT streams (a round-3 review found the old
         # re-split of `key` made k_drop identical to k_sc, perfectly
         # correlating the CFG drop with the self-conditioning coin flip)
         k_diff, k_sc, k_drop = jax.random.split(key, 3)
         feats = featurize_window(raw_window)
+        if rigid_overrides:
+            r0 = feats["rigids_0"]
+            for pos, rig in rigid_overrides:
+                r0 = r0.at[pos].set(rig)
+            feats["rigids_0"] = r0
         ec = self.cfg.experiment
         if ec.cond_noise_trans > 0 or ec.cond_noise_rot_deg > 0:
             # exposure-bias robustifier (opt-in; featurize.py docstring).
@@ -148,7 +176,66 @@ class Trainer:
         out = score_forward(
             self.model, params, self.diffuser, feats, drop_ref=drop_ref
         )
-        return dfold_loss(out, feats, self.cfg.experiment)
+        loss, aux = dfold_loss(out, feats, self.cfg.experiment)
+        return loss, aux, out["rigids"][-1]
+
+    def _window_loss(self, params, key, raw_window):
+        """Loss for one raw window; dispatches on experiment.unroll_steps.
+
+        unroll_steps=1 (default, reference semantics): one denoising step
+        on the window, loss on the last frame.
+
+        unroll_steps=K>1 (beyond-reference, opt-in): scheduled-sampling /
+        rollout-consistent training. The raw window must carry F+K-1
+        frames (set data.frame_time accordingly); the model's window stays
+        F frames. Step s slices frames [s, s+F) and substitutes every
+        conditioning slot that a previous step already predicted — the
+        EXACT feedback seam the autoregressive rollout uses — then takes a
+        normal denoising loss on its target frame. Losses average over
+        steps; gradients flow THROUGH the fed-back rigids (differentiable
+        unroll), so step s's prediction is trained to be useful as step
+        s+1's conditioning, not just to match GT. Motivation + measured
+        effect: the 1000-frame divergence analysis
+        (docs/artifacts/rollout_quality_1000.json, docs/DESIGN.md)."""
+        ec = self.cfg.experiment
+        unroll = getattr(ec, "unroll_steps", 1)
+        if unroll <= 1:
+            loss, aux, _ = self._one_step_loss(params, key, raw_window)
+            return loss, aux
+        f_raw = raw_window["atom37"].shape[0]
+        need = f_raw - (unroll - 1)  # the model's window length F
+        if need < 2:
+            raise ValueError(
+                f"unroll_steps={unroll} needs windows of >= {unroll + 1} "
+                f"frames (got {f_raw}); raise data.frame_time"
+            )
+        keys = jax.random.split(key, unroll)
+        preds: list = []  # predicted rigids for raw frames need-1+s
+        losses, auxs = [], []
+        for s in range(unroll):
+            raw_s = dict(
+                raw_window,
+                **{
+                    k: raw_window[k][s : s + need]
+                    for k in ("atom37", "force", "vel")
+                },
+            )
+            overrides = []
+            for p in range(need - 1):
+                j = s + p - (need - 1)  # raw frame s+p, predicted at step j
+                if j >= 0:
+                    overrides.append((p, preds[j]))
+            loss, aux, pred = self._one_step_loss(
+                params, keys[s], raw_s, tuple(overrides)
+            )
+            preds.append(pred)
+            losses.append(loss)
+            auxs.append(aux)
+        loss = jnp.mean(jnp.stack(losses))
+        aux = jax.tree_util.tree_map(
+            lambda *xs: jnp.mean(jnp.stack(xs)), *auxs
+        )
+        return loss, aux
 
     def _keyed_loss(self, params, keys, raw_batch):
         """Mean loss over a batch with per-window keys already split."""

@@ -306,3 +306,61 @@ def test_cond_noise_trains_and_default_rng_untouched(window):
     loss_on, _ = jax.jit(t_on.loss_fn)(params, key, batch)
     assert np.isfinite(float(loss_on))
     assert float(loss_on) != float(loss_off)
+
+
+def test_unrolled_loss_trains_and_feeds_back():
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        TINY_CFG,
+        experiment=dataclasses.replace(TINY_CFG.experiment, unroll_steps=2),
+    )
+    # raw windows carry F+1 frames; the model's window stays F=2
+    window3 = make_window(n_res=8, frame_time=3, seed=0)
+    trainer = Trainer(cfg2)
+    key = jax.random.PRNGKey(0)
+    params, opt_state = trainer.init_params(
+        key, {k: (v[:2] if k in ("atom37", "force", "vel") else v)
+              for k, v in window3.items()}
+    )
+    batch = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], window3)
+    (loss2, aux2), grads = jax.jit(
+        jax.value_and_grad(trainer.loss_fn, has_aux=True)
+    )(params, key, batch)
+    assert np.isfinite(float(loss2))
+    gnorm = float(jax.jit(lambda g: sum(
+        jnp.sum(x * x) for x in jax.tree_util.tree_leaves(g)
+    ) ** 0.5)(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+    # the second step really consumes the first step's prediction: the
+    # unrolled loss must differ from averaging the two teacher-forced
+    # one-step losses on the same slices
+    t1 = Trainer(TINY_CFG)
+    keys = jax.random.split(key, 1)  # loss_fn's per-window split
+    ks = jax.random.split(keys[0], 2)
+
+    def sliced(s):
+        return {k: (jnp.asarray(v)[s:s + 2]
+                    if k in ("atom37", "force", "vel") else jnp.asarray(v))
+                for k, v in window3.items()}
+
+    tf0, _, _ = jax.jit(t1._one_step_loss)(params, ks[0], sliced(0))
+    tf1, _, _ = jax.jit(t1._one_step_loss)(params, ks[1], sliced(1))
+    teacher_forced = 0.5 * (float(tf0) + float(tf1))
+    assert abs(float(loss2) - teacher_forced) > 1e-6
+
+
+def test_unroll_window_too_short_raises():
+    import dataclasses
+
+    cfg2 = dataclasses.replace(
+        TINY_CFG,
+        experiment=dataclasses.replace(TINY_CFG.experiment, unroll_steps=2),
+    )
+    window = make_window(n_res=8, frame_time=2, seed=0)  # too short
+    trainer = Trainer(cfg2)
+    params, _ = Trainer(TINY_CFG).init_params(jax.random.PRNGKey(0), window)
+    batch = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], window)
+    with pytest.raises(ValueError, match="unroll_steps"):
+        trainer.loss_fn(params, jax.random.PRNGKey(0), batch)

@@ -89,6 +89,10 @@ def main(argv=None):
                     help="train with the exposure-bias robustifier: std (A) "
                          "of SE(3) translation error on conditioning frames")
     ap.add_argument("--cond-noise-rot-deg", type=float, default=0.0)
+    ap.add_argument("--unroll-steps", type=int, default=1,
+                    help="train with the K-step rollout-consistent "
+                         "(scheduled-sampling) loss; windows grow by K-1 "
+                         "frames")
     ap.add_argument("--out", default="docs/artifacts/rollout_quality_1000.json")
     args = ap.parse_args(argv)
     buckets = [int(b) for b in args.buckets.split(",")]
@@ -123,12 +127,12 @@ def main(argv=None):
                   "node_repr", "edge_repr")
     }
 
-    def window_at(f):
+    def window_at(f, length=2):
         return dict(
             shared,
-            atom37=traj["atom37"][f : f + 2],
-            force=traj["force"][f : f + 2],
-            vel=traj["vel"][f : f + 2],
+            atom37=traj["atom37"][f : f + length],
+            force=traj["force"][f : f + length],
+            vel=traj["vel"][f : f + length],
         )
 
     # same training setup as tools/rollout_refresh_experiment.py
@@ -143,7 +147,8 @@ def main(argv=None):
             r3=R3Config(coordinate_scaling=1.0),
         ),
     )
-    if args.cond_noise_trans > 0 or args.cond_noise_rot_deg > 0:
+    if (args.cond_noise_trans > 0 or args.cond_noise_rot_deg > 0
+            or args.unroll_steps > 1):
         import dataclasses
 
         cfg = dataclasses.replace(
@@ -152,11 +157,13 @@ def main(argv=None):
                 cfg.experiment,
                 cond_noise_trans=args.cond_noise_trans,
                 cond_noise_rot_deg=args.cond_noise_rot_deg,
+                unroll_steps=args.unroll_steps,
             ),
         )
     trainer = Trainer(cfg)
     key = jax.random.PRNGKey(args.seed)
-    w0 = window_at(0)
+    wlen = 2 + max(0, args.unroll_steps - 1)  # raw frames per train window
+    w0 = window_at(0, wlen)
     params, opt_state = trainer.init_params(key, w0)
     step = jax.jit(trainer.train_step, donate_argnums=(0, 1))
 
@@ -164,9 +171,11 @@ def main(argv=None):
     t0 = time.time()
     loss0 = loss = None
     for i in range(args.steps):
-        starts = rng.integers(0, args.t_train - 1, size=args.batch)
+        starts = rng.integers(0, args.t_train - wlen + 1, size=args.batch)
         batch = {
-            k: jnp.asarray(np.stack([window_at(int(s))[k] for s in starts]))
+            k: jnp.asarray(
+                np.stack([window_at(int(s), wlen)[k] for s in starts])
+            )
             for k in w0
         }
         key, sub = jax.random.split(key)
@@ -307,6 +316,7 @@ def main(argv=None):
             "dyn_backbone_deg": args.dyn_backbone_deg,
             "cond_noise_trans": args.cond_noise_trans,
             "cond_noise_rot_deg": args.cond_noise_rot_deg,
+            "unroll_steps": args.unroll_steps,
             "noise_scale": 0.1, "num_t": 10,
             "frames_per_bucket_stats": k,
             "device": str(jax.devices()[0]),
