@@ -319,10 +319,9 @@ def test_unrolled_loss_trains_and_feeds_back():
     window3 = make_window(n_res=8, frame_time=3, seed=0)
     trainer = Trainer(cfg2)
     key = jax.random.PRNGKey(0)
-    params, opt_state = trainer.init_params(
-        key, {k: (v[:2] if k in ("atom37", "force", "vel") else v)
-              for k, v in window3.items()}
-    )
+    # init_params takes the RAW (F+K-1)-frame window and slices to the
+    # model's F-frame view itself
+    params, opt_state = trainer.init_params(key, window3)
     batch = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None], window3)
     (loss2, aux2), grads = jax.jit(
         jax.value_and_grad(trainer.loss_fn, has_aux=True)
