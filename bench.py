@@ -147,10 +147,28 @@ def main():
         )
     )
     step = jax.jit(trainer.multi_train_step, donate_argnums=(0, 1))
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".cache", "jax_tpu"
+    )
     t0 = time.time()
     compiled = step.lower(params, opt_state, key, batch).compile()
     compile_s = time.time() - t0
-    print(f"train step compile: {compile_s:.1f}s", file=sys.stderr)
+    # Disambiguate a slow compile: a true cache MISS (>1 s compile) writes a
+    # jit_multi_train_step-* entry; a slow run that wrote nothing is the
+    # committed entry's HIT path stalling on the shared tunnel (observed:
+    # the same key loaded in 617 s under contention and 4.6 s minutes later)
+    # — NOT stale cache. Keeps a one-off contention spike in compile_s from
+    # reading as cache rot.
+    wrote_entry = any(
+        f.startswith("jit_multi_train_step-")
+        and os.path.getmtime(os.path.join(cache_dir, f)) >= t0
+        for f in os.listdir(cache_dir)
+    )
+    compile_cache = "miss" if wrote_entry else (
+        "hit-stalled" if compile_s > 90 else "hit"
+    )
+    print(f"train step compile: {compile_s:.1f}s ({compile_cache})",
+          file=sys.stderr)
     # XLA's cost analysis counts a lax.scan body ONCE regardless of trip
     # count (verified: the K=16 scan total equals the unscanned single
     # step bit-for-bit), so the compiled total IS the per-step FLOPs.
@@ -377,6 +395,7 @@ def main():
                 "train_flops_per_step_b1": flops_per_step,
                 "mfu_b1_median": mfu,
                 "compile_s": round(compile_s, 1),
+                "compile_cache": compile_cache,
                 "device": str(dev),
             }
         )
