@@ -145,6 +145,34 @@ def pack_reference_layout(
     return paths
 
 
+def load_segmented_pkl(pid_dir: str, pid: str, kind: str) -> np.ndarray | None:
+    """Concatenate the release's tenth-of-trajectory segment pickles.
+
+    The download layout provides {pid}_{kind}/{pid}_{kind}_{i}.pkl for
+    kind in T/F/V, "sequentially named from 0 to 9 in chronological
+    order" (reference README.md:120-140), alongside the combined
+    {pid}_{kind}.pkl. Returns the [F, A, 3] concatenation in numeric
+    segment order, or None if the segment directory is absent."""
+    import re
+
+    seg_dir = os.path.join(pid_dir, f"{pid}_{kind}")
+    if not os.path.isdir(seg_dir):
+        return None
+    pat = re.compile(re.escape(f"{pid}_{kind}") + r"_(\d+)\.pkl$")
+    found = sorted(
+        (int(m.group(1)), name)
+        for name in os.listdir(seg_dir)
+        if (m := pat.fullmatch(name))
+    )
+    if not found:
+        return None
+    parts = []
+    for _, name in found:
+        with open(os.path.join(seg_dir, name), "rb") as f:
+            parts.append(np.asarray(pickle.load(f)))
+    return np.concatenate(parts, axis=0)
+
+
 def pack_from_dynamicpdb_release(
     out_path: str,
     pid_dir: str,
@@ -157,14 +185,19 @@ def pack_from_dynamicpdb_release(
     """Pack a protein straight from the dynamicPDB release layout
     (README.md:36-140): {pid}_T.pkl per-frame coordinates, {pid}_F.pkl
     forces, {pid}_V.pkl velocities (all [F, A, 3] full-atom), plus the
-    topology {pid}.pdb. Writes the single-bundle training npz."""
+    topology {pid}.pdb. Falls back to the segmented {pid}_T/ {pid}_F/
+    {pid}_V/ directories when a combined pickle is absent. Writes the
+    single-bundle training npz."""
 
     def _load(name):
         p = os.path.join(pid_dir, f"{pid}{name}")
-        if not os.path.exists(p):
-            return None
-        with open(p, "rb") as f:
-            arr = np.asarray(pickle.load(f))
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                arr = np.asarray(pickle.load(f))
+        else:
+            arr = load_segmented_pkl(pid_dir, pid, name[1:-4])
+            if arr is None:
+                return None
         return arr[:max_frames] if max_frames else arr
 
     positions = _load("_T.pkl")
