@@ -46,6 +46,11 @@ def main(argv=None):
     parser.add_argument("--dt-ps", type=float, default=1.0,
                         help="frame spacing (ps) for the velocity "
                         "re-derivation (release data: 1 ps x stride)")
+    parser.add_argument("--save-dcd", action="store_true",
+                        help="extension only: also write the rollout as "
+                        "{name}_extension.dcd plus a matching "
+                        "{name}_topology.pdb so VMD/PyMOL/mdtraj open it "
+                        "directly (preprocess/dcd.py)")
     parser.add_argument("overrides", nargs="*")
     args = parser.parse_args(argv)
 
@@ -158,6 +163,23 @@ def _run_eval(args, cfg, trainer, params, dataset, key, log):
                 aatype=raw["aatype"],
             )
             log.info("extension saved: %s", out)
+            if args.save_dcd:
+                from dynamicpdb_tpu.analysis.pdb_io import write_pdb
+                from dynamicpdb_tpu.chem import constants as chem
+                from dynamicpdb_tpu.preprocess.dcd import write_dcd
+
+                at = np.asarray(atom_traj)
+                mask = np.asarray(chem.restype_atom37_mask)[
+                    np.asarray(raw["aatype"])
+                ]
+                base = f"{args.save_dir or '.'}/{name}"
+                # same residue-major atom37 ordering as write_pdb's ATOM
+                # records, so the DCD columns match the topology file
+                write_pdb(f"{base}_topology.pdb", at[0],
+                          np.asarray(raw["aatype"]), mask)
+                write_dcd(f"{base}_extension.dcd", at[:, mask > 0.5],
+                          timestep_ps=args.dt_ps)
+                log.info("dcd saved: %s_extension.dcd", base)
         return
 
     cfg_gamma = (

@@ -246,7 +246,7 @@ def test_eval_cli_extension_with_refresh(window, tmp_path):
     eval_cli.main([
         "--ckpt", ckpt,
         "--extension", "2", "--refresh-conditioning", "--dt-ps", "2.0",
-        "--fast-x0",
+        "--fast-x0", "--save-dcd",
         "--save-dir", str(tmp_path),
         f"data.test_csv_path={tmp_path / 'm.csv'}",
         f"data.csv_path={tmp_path / 'm.csv'}",
@@ -257,6 +257,22 @@ def test_eval_cli_extension_with_refresh(window, tmp_path):
     assert out["atom_traj"].shape == (2, n, 37, 3)
     assert out["rigid_traj"].shape == (2, n, 7)
     assert np.isfinite(out["atom_traj"]).all()
+
+    # --save-dcd: the DCD's columns follow the topology PDB's atom order
+    from dynamicpdb_tpu.analysis.pdb_io import read_pdb
+    from dynamicpdb_tpu.chem import constants as chem
+    from dynamicpdb_tpu.preprocess.dcd import read_dcd
+
+    dcd = read_dcd(str(tmp_path / "p0_extension.dcd"))
+    mask = np.asarray(chem.restype_atom37_mask)[out["aatype"]] > 0.5
+    assert dcd["xyz"].shape == (2, int(mask.sum()), 3)
+    np.testing.assert_allclose(dcd["xyz"], out["atom_traj"][:, mask],
+                               atol=1e-5)
+    topo_atom37, topo_mask, _, _ = read_pdb(str(tmp_path / "p0_topology.pdb"))
+    np.testing.assert_array_equal(topo_mask > 0.5, mask)
+    np.testing.assert_allclose(
+        topo_atom37[mask], out["atom_traj"][0][mask], atol=2e-3
+    )
 
 
 def test_perturb_conditioning_rigids_properties():
