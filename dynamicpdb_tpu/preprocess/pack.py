@@ -202,7 +202,22 @@ def pack_from_dynamicpdb_release(
 
     positions = _load("_T.pkl")
     if positions is None:
-        raise FileNotFoundError(f"{pid}_T.pkl not found in {pid_dir}")
+        # minimal downloads may carry only the DCD form of the trajectory
+        from dynamicpdb_tpu.preprocess.dcd import read_dcd, read_dcd_segments
+
+        dcd_path = os.path.join(pid_dir, f"{pid}_T.dcd")
+        seg_dir = os.path.join(pid_dir, f"{pid}_dcd")
+        if os.path.exists(dcd_path):
+            positions = read_dcd(dcd_path)["xyz"]
+        elif os.path.isdir(seg_dir):
+            positions = read_dcd_segments(seg_dir, f"{pid}_dcd")["xyz"]
+        if positions is not None and max_frames:
+            positions = positions[:max_frames]
+    if positions is None:
+        raise FileNotFoundError(
+            f"no {pid}_T.pkl / {pid}_T/ segments / {pid}_T.dcd / "
+            f"{pid}_dcd/ trajectory in {pid_dir}"
+        )
     forces = _load("_F.pkl")
     velocities = _load("_V.pkl")
 

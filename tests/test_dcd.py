@@ -134,6 +134,33 @@ def test_cli_info_and_npz_conversion(tmp_path, capsys):
                                   xyz)
 
 
+def test_pack_release_from_dcd_only(tmp_path):
+    """pack_from_dynamicpdb_release falls back to {pid}_T.dcd when no
+    pickle/segment trajectory exists (minimal release download)."""
+    from dynamicpdb_tpu.analysis.pdb_io import write_pdb
+    from dynamicpdb_tpu.chem import constants as chem
+    from dynamicpdb_tpu.data.synthetic import make_window
+    from dynamicpdb_tpu.preprocess.pack import pack_from_dynamicpdb_release
+
+    w = make_window(n_res=5, frame_time=1, seed=11)
+    pid = "1abc_A"
+    write_pdb(str(tmp_path / f"{pid}.pdb"), w["atom37"][0], w["aatype"],
+              w["atom37_mask"])
+    names, coords = [], []
+    for i in range(5):
+        for a in range(37):
+            if w["atom37_mask"][i, a]:
+                names.append(chem.ATOM37_NAMES[a])
+                coords.append(w["atom37"][0, i, a])
+    traj = np.tile(np.asarray(coords, np.float32)[None], (4, 1, 1))
+    write_dcd(str(tmp_path / f"{pid}_T.dcd"), traj)
+    out = pack_from_dynamicpdb_release(
+        str(tmp_path / "bundle.npz"), str(tmp_path), pid, max_frames=3
+    )
+    with np.load(out) as z:
+        assert z["all_atom_positions"].shape == (3, 5, 37, 3)
+
+
 def test_dcd_to_pbc_unwrap_chain(tmp_path):
     """Release chain without mdtraj: DCD -> read -> PBC unwrap
     (post_process.py:51-76 equivalent, end to end in this package)."""
