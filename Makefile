@@ -11,16 +11,18 @@
 #   make check  lint + fast (the inner-loop gate)
 #
 # Measured on a 1-CORE host with the committed AVX2-pinned compile cache
-# warm (2026-08-18):
-#   fast tier            ~3 min    (139 tests; re-measured r4: 2:13)
-#   test tier (default)  4:47      (210 tests in one session; first results
-#                                   within seconds — the re-tier goal;
-#                                   re-measured r4: 7:45 under contention)
-#   heavy tier           ~15 min   (re-measured r4: 18:46; per-file: parallel ~500 s,
+# warm (re-measured 2026-08-19 after the round-5 live-dir cache GC):
+#   fast tier            1:26      (171 tests)
+#   test tier (default)  4:20 at 226 tests (round-5 additions bring it to
+#                                   ~250; first results within seconds —
+#                                   the re-tier goal)
+#   heavy tier           ~15 min   (r4: 18:46; per-file: parallel ~500 s,
 #                                   omegafold_model 132 s, sampler 102 s,
 #                                   train 89 s, pad_invariance 73 s,
 #                                   optim 66 s, pallas_ipa 55 s,
 #                                   model_parity 48 s)
+#   full suite COLD      42:58     (293 tests before round-5 additions;
+#                                   the live-dir GC baseline run)
 # On a multi-core host the heavy tier shrinks several-fold (the cost is
 # serialized XLA compiles + torch CPU oracles).
 
