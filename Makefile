@@ -36,6 +36,7 @@ FAST_TESTS = tests/test_rigid.py tests/test_rigid_golden.py \
              tests/test_data.py tests/test_analysis_utils.py \
              tests/test_mmcif.py tests/test_preprocess.py \
              tests/test_energies.py tests/test_dcd.py \
+             tests/test_ingest_release.py \
              tests/test_structure_checks.py tests/test_rollout_quality_tool.py
 
 .PHONY: lint fast test heavy slow check cache-gc cache-record

@@ -181,13 +181,16 @@ def pack_from_dynamicpdb_release(
     node_repr=None,
     edge_repr=None,
     max_frames: int | None = None,
+    unwrap: bool = False,
 ):
     """Pack a protein straight from the dynamicPDB release layout
     (README.md:36-140): {pid}_T.pkl per-frame coordinates, {pid}_F.pkl
     forces, {pid}_V.pkl velocities (all [F, A, 3] full-atom), plus the
     topology {pid}.pdb. Falls back to the segmented {pid}_T/ {pid}_F/
-    {pid}_V/ directories when a combined pickle is absent. Writes the
-    single-bundle training npz."""
+    {pid}_V/ directories when a combined pickle is absent. With
+    ``unwrap=True``, removes periodic-box jumps first, reading the box
+    from the release's {pid}_state_npt*.xml (post_process.py:10-76
+    semantics, no OpenMM needed). Writes the single-bundle training npz."""
 
     def _load(name):
         p = os.path.join(pid_dir, f"{pid}{name}")
@@ -218,6 +221,12 @@ def pack_from_dynamicpdb_release(
             f"no {pid}_T.pkl / {pid}_T/ segments / {pid}_T.dcd / "
             f"{pid}_dcd/ trajectory in {pid_dir}"
         )
+    if unwrap:
+        from dynamicpdb_tpu.preprocess import pbc
+
+        box = pbc.box_from_release_dir(pid_dir, pid)
+        positions = pbc.unwrap_trajectory(positions, box)
+
     forces = _load("_F.pkl")
     velocities = _load("_V.pkl")
 
