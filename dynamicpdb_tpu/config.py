@@ -178,6 +178,11 @@ class ExperimentConfig:
     # optimizer pass is the largest HBM-traffic slice of a train step
     # (docs/DESIGN.md); None/"float32" = exact optax.amsgrad sequence
     opt_state_dtype: str | None = None
+    # parameter EMA (beyond-reference, opt-in): e.g. 0.999 tracks an
+    # exponential moving average of the weights inside opt_state
+    # (train/optim.py:track_ema); evaluate with `eval_cli --ema`.
+    # None = reference behavior, optimizer/train step unchanged.
+    ema_decay: float | None = None
     # "optax" (default, bit-compatible with optax.amsgrad) or "torch"
     # (reproduces torch.optim.Adam(amsgrad=True) step-for-step: uncorrected
     # nu_max + f64-accurate bias corrections — use for strict loss-curve

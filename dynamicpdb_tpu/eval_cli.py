@@ -46,6 +46,11 @@ def main(argv=None):
     parser.add_argument("--dt-ps", type=float, default=1.0,
                         help="frame spacing (ps) for the velocity "
                         "re-derivation (release data: 1 ps x stride)")
+    parser.add_argument("--ema", action="store_true",
+                        help="evaluate with the EMA weights stored in the "
+                        "checkpoint's optimizer state (train with "
+                        "experiment.ema_decay=<d> and pass the same "
+                        "override here so the state template matches)")
     parser.add_argument("--save-dcd", action="store_true",
                         help="extension only: also write the rollout as "
                         "{name}_extension.dcd plus a matching "
@@ -120,9 +125,21 @@ def main(argv=None):
     sample = dataset.get_window(0, np.random.default_rng(0))
     sample.pop("name", None)
     key = jax.random.PRNGKey(cfg.experiment.seed)
-    params, _ = trainer.init_params(key, sample)
-    state = ckpt_lib.restore(args.ckpt, params)
+    params, opt_template = trainer.init_params(key, sample)
+    state = ckpt_lib.restore(
+        args.ckpt, params, opt_template if args.ema else None
+    )
     params = state["params"]
+    if args.ema:
+        from dynamicpdb_tpu.train.optim import ema_params
+
+        if state["opt_state"] is None:
+            raise SystemExit(
+                "--ema: checkpoint has no optimizer state to read the EMA "
+                "weights from"
+            )
+        params = ema_params(state["opt_state"])
+        log.info("evaluating with EMA weights")
     log.info("loaded %s (step %d)", args.ckpt, state["step"])
 
     _run_eval(args, cfg, trainer, params, dataset, key, log)

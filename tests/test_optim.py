@@ -188,3 +188,122 @@ def test_torch_formulation_differs_from_optax_when_max_is_stale():
             w = optax.apply_updates(w, upd)
         outs.append(np.asarray(w))
     assert np.abs(outs[0] - outs[1]).max() > 1e-7
+
+
+# ---- parameter EMA (beyond-reference, experiment.ema_decay) ----------------
+
+
+class _EmaCfg:
+    learning_rate = 1e-2
+    grad_clip_norm = None
+    opt_state_dtype = None
+    ema_decay = 0.5
+
+
+def test_ema_matches_manual_recursion():
+    params, loss = _toy_problem()
+    opt = optim.make_optimizer(_EmaCfg())
+    state = opt.init(params)
+    # EMA starts at the initial parameters
+    for e, p in zip(jax.tree_util.tree_leaves(optim.ema_params(state)),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(p))
+
+    manual = jax.tree_util.tree_map(np.asarray, params)
+    d = _EmaCfg.ema_decay
+    for i in range(5):
+        g = jax.grad(loss)(params)
+        updates, state = opt.update(g, state, params)
+        params = optax.apply_updates(params, updates)
+        manual = jax.tree_util.tree_map(
+            lambda e, p: d * e + (1 - d) * np.asarray(p), manual, params
+        )
+        for e, m in zip(jax.tree_util.tree_leaves(optim.ema_params(state)),
+                        jax.tree_util.tree_leaves(manual)):
+            np.testing.assert_allclose(np.asarray(e), m, rtol=1e-6,
+                                       atol=1e-7)
+
+
+def test_ema_decay_zero_is_current_params():
+    class Cfg(_EmaCfg):
+        ema_decay = 0.0
+
+    params, loss = _toy_problem()
+    p_out, state, _ = _run(optim.make_optimizer(Cfg()), params, loss, steps=3)
+    for e, p in zip(jax.tree_util.tree_leaves(optim.ema_params(state)),
+                    jax.tree_util.tree_leaves(p_out)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(p), rtol=1e-6)
+
+
+def test_ema_does_not_change_training_trajectory():
+    """track_ema is a pure observer: updates with it are bit-identical."""
+    params, loss = _toy_problem()
+
+    class Plain(_EmaCfg):
+        ema_decay = None
+
+    p_plain, state_plain, l_plain = _run(
+        optim.make_optimizer(Plain()), params, loss, steps=8
+    )
+    p_ema, state_ema, l_ema = _run(
+        optim.make_optimizer(_EmaCfg()), params, loss, steps=8
+    )
+    np.testing.assert_array_equal(l_plain, l_ema)
+    for a, b in zip(jax.tree_util.tree_leaves(p_plain),
+                    jax.tree_util.tree_leaves(p_ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # default optimizer carries no EMA tree; opt-in one does
+    with pytest.raises(ValueError, match="no EMA"):
+        optim.ema_params(state_plain)
+    assert optim.ema_params(state_ema) is not None
+
+
+def test_ema_invalid_decay_rejected():
+    with pytest.raises(ValueError, match="ema_decay"):
+        optim.track_ema(1.0)
+
+
+def test_trainer_ema_checkpoint_roundtrip(tmp_path):
+    """Experiment-level: EMA rides opt_state through train + save/restore;
+    eval-side extraction returns the averaged weights."""
+    import dataclasses
+
+    from dynamicpdb_tpu.data.synthetic import make_window
+    from dynamicpdb_tpu.train import checkpoint as ckpt_lib
+    from dynamicpdb_tpu.train.experiment import Trainer
+    from tests.test_train import TINY_CFG
+
+    cfg = dataclasses.replace(
+        TINY_CFG,
+        experiment=dataclasses.replace(TINY_CFG.experiment, ema_decay=0.9),
+    )
+    trainer = Trainer(cfg)
+    window = make_window(n_res=8, frame_time=2, seed=0)
+    params, opt_state = trainer.init_params(jax.random.PRNGKey(1), window)
+    batch = jax.tree_util.tree_map(lambda x: x[None], window)
+    step = jax.jit(trainer.train_step)
+    p, s = params, opt_state
+    for i in range(2):
+        p, s, aux = step(p, s, jax.random.PRNGKey(2 + i), batch)
+    ema = optim.ema_params(s)
+    # averaged weights lag the live ones but have moved off the init
+    dist_live = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(jax.tree_util.tree_leaves(ema),
+                        jax.tree_util.tree_leaves(p))
+    )
+    dist_init = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(jax.tree_util.tree_leaves(ema),
+                        jax.tree_util.tree_leaves(params))
+    )
+    assert dist_live > 0 and dist_init > 0
+
+    path = str(tmp_path / "ema.ckpt")
+    ckpt_lib.save(path, p, s, step=2, epoch=0)
+    restored = ckpt_lib.restore(path, params, opt_state)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(optim.ema_params(restored["opt_state"])),
+        jax.tree_util.tree_leaves(ema),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
