@@ -16,11 +16,9 @@
 #   test tier (default)  4:20 at 226 tests (round-5 additions bring it to
 #                                   ~250; first results within seconds —
 #                                   the re-tier goal)
-#   heavy tier           ~15 min   (r4: 18:46; per-file: parallel ~500 s,
-#                                   omegafold_model 132 s, sampler 102 s,
-#                                   train 89 s, pad_invariance 73 s,
-#                                   optim 66 s, pallas_ipa 55 s,
-#                                   model_parity 48 s)
+#   heavy tier           9:37      (66 tests; r4 measured 18:46 — the
+#                                   round-5 live-dir cache GC + fresh warm
+#                                   entries halved it)
 #   full suite COLD      42:58     (293 tests before round-5 additions;
 #                                   the live-dir GC baseline run)
 # On a multi-core host the heavy tier shrinks several-fold (the cost is

@@ -89,6 +89,12 @@ def main(argv=None):
                     help="train with the exposure-bias robustifier: std (A) "
                          "of SE(3) translation error on conditioning frames")
     ap.add_argument("--cond-noise-rot-deg", type=float, default=0.0)
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="train with parameter EMA and add a model_ema "
+                         "rollout row (same training run — EMA is a pure "
+                         "observer, so live-vs-EMA is perfectly controlled); "
+                         "size the decay to the step budget (0.99 ~ a "
+                         "100-step window)")
     ap.add_argument("--unroll-steps", type=int, default=1,
                     help="train with the K-step rollout-consistent "
                          "(scheduled-sampling) loss; windows grow by K-1 "
@@ -148,7 +154,7 @@ def main(argv=None):
         ),
     )
     if (args.cond_noise_trans > 0 or args.cond_noise_rot_deg > 0
-            or args.unroll_steps > 1):
+            or args.unroll_steps > 1 or args.ema_decay > 0):
         import dataclasses
 
         cfg = dataclasses.replace(
@@ -158,6 +164,7 @@ def main(argv=None):
                 cond_noise_trans=args.cond_noise_trans,
                 cond_noise_rot_deg=args.cond_noise_rot_deg,
                 unroll_steps=args.unroll_steps,
+                ema_decay=args.ema_decay or None,
             ),
         )
     trainer = Trainer(cfg)
@@ -222,6 +229,19 @@ def main(argv=None):
     )(params, jax.random.PRNGKey(2))
     det37 = np.asarray(atom_traj_det[1:])
 
+    ema37 = None
+    if args.ema_decay > 0:
+        from dynamicpdb_tpu.train.optim import ema_params
+
+        print("EMA-weights rollout (same training run)...", file=sys.stderr)
+        atom_traj_ema, _ = jax.jit(
+            lambda p, k: rollout(
+                k, trainer.model, p, trainer.diffuser, feats,
+                n_steps=n_roll, num_t=10, noise_scale=0.1,
+            )
+        )(ema_params(opt_state), jax.random.PRNGKey(2))
+        ema37 = np.asarray(atom_traj_ema[1:])
+
     # RefAsPred floor: the last OBSERVED frame as the prediction forever
     ref37 = np.broadcast_to(
         traj["atom37"][args.t_train][None], pred37.shape
@@ -270,6 +290,8 @@ def main(argv=None):
         "refaspred": rmsd_series(ref37),
         "oracle": rmsd_series(oracle37),
     }
+    if ema37 is not None:
+        series["model_ema"] = rmsd_series(ema37)
     slices = bucket_slices(args.horizon, buckets)
     accuracy = {}
     for name, (plain, aligned) in series.items():
@@ -317,6 +339,7 @@ def main(argv=None):
             "cond_noise_trans": args.cond_noise_trans,
             "cond_noise_rot_deg": args.cond_noise_rot_deg,
             "unroll_steps": args.unroll_steps,
+            "ema_decay": args.ema_decay,
             "noise_scale": 0.1, "num_t": 10,
             "frames_per_bucket_stats": k,
             "device": str(jax.devices()[0]),
